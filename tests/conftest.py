@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+All tests run on CPU with 8 virtual devices so multi-chip sharding paths
+compile and execute without TPU hardware. Must be set before jax imports.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(114514)
