@@ -1,0 +1,395 @@
+"""Whisper encoder-decoder, pure-functional JAX.
+
+TPU-first re-design of the backbone the reference consumes through the
+``openai-whisper`` package (`train_multitask.py:647`,
+`module/align_model.py:91,120`): parameters are plain pytrees, every apply
+function is jit/pjit-compatible, attention and MLPs are einsum contractions
+that tile onto the MXU, LayerNorm accumulates in f32, compute dtype is
+selectable (bf16 on TPU, f32 for parity tests), and the decoder carries a
+static-shape KV cache updated with ``lax.dynamic_update_slice`` so
+autoregressive decoding stays on-device inside ``lax.scan``/``while_loop``.
+
+Public surface mirrors what the reference uses:
+  * ``encode_audio(params, cfg, mel)``          ≙ ``model.embed_audio(mel)``
+  * ``decoder_logits(params, cfg, tokens, xa)`` ≙ ``model.logits(tokens, xa)``
+  * KV-cached single-step decode for transcription (``decode/`` package).
+
+Weight-layout conventions (converter in ``models/convert.py`` maps OpenAI
+checkpoints into this layout):
+  * linear weights are stored ``[in, out]`` (applied as ``x @ w + b``)
+  * conv weights are stored torch-style ``[out, in, k]``
+  * attention q/v/out have biases; k has none (whisper convention)
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    n_vocab: int = 51865
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def is_multilingual(self) -> bool:
+        return self.n_vocab >= 51865
+
+
+def _cfg(state: int, head: int, layer: int, **kw) -> WhisperConfig:
+    return WhisperConfig(
+        n_audio_state=state, n_audio_head=head, n_audio_layer=layer,
+        n_text_state=state, n_text_head=head, n_text_layer=layer, **kw,
+    )
+
+
+WHISPER_CONFIGS: Dict[str, WhisperConfig] = {
+    "tiny": _cfg(384, 6, 4),
+    "base": _cfg(512, 8, 6),
+    "small": _cfg(768, 12, 12),
+    "medium": _cfg(1024, 16, 24),
+    "large": _cfg(1280, 20, 32),
+    "large-v2": _cfg(1280, 20, 32),
+}
+
+# embed dim per model name — parity with the reference's WHISPER_DIM
+# (`train_multitask.py:145-149`)
+WHISPER_DIM = {name: cfg.n_audio_state for name, cfg in WHISPER_CONFIGS.items()}
+
+
+# ---------------------------------------------------------------------------
+# Initialisation
+# ---------------------------------------------------------------------------
+
+def _linear_init(key, n_in, n_out, bias=True):
+    w_key, _ = jax.random.split(key)
+    scale = 1.0 / np.sqrt(n_in)
+    p = {"w": jax.random.uniform(w_key, (n_in, n_out), jnp.float32, -scale, scale)}
+    if bias:
+        p["b"] = jnp.zeros((n_out,), jnp.float32)
+    return p
+
+
+def _ln_init(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def _attn_init(key, dim):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q": _linear_init(kq, dim, dim),
+        "k": _linear_init(kk, dim, dim, bias=False),
+        "v": _linear_init(kv, dim, dim),
+        "out": _linear_init(ko, dim, dim),
+    }
+
+
+def _block_init(key, dim, cross: bool):
+    keys = jax.random.split(key, 3)
+    block = {
+        "attn_ln": _ln_init(dim),
+        "attn": _attn_init(keys[0], dim),
+        "mlp_ln": _ln_init(dim),
+        "mlp_fc1": _linear_init(keys[1], dim, dim * 4),
+        "mlp_fc2": _linear_init(keys[2], dim * 4, dim),
+    }
+    if cross:
+        key_c = jax.random.fold_in(key, 7)
+        block["cross_attn_ln"] = _ln_init(dim)
+        block["cross_attn"] = _attn_init(key_c, dim)
+    return block
+
+
+@functools.lru_cache(maxsize=None)
+def sinusoid_position_embedding(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed encoder positional embedding (log-spaced sinusoids)."""
+    log_timescale_increment = np.log(10000) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(np.float32)
+
+
+def init_whisper_params(key: jax.Array, cfg: WhisperConfig) -> Params:
+    k_enc, k_dec, k_conv1, k_conv2, k_tok = jax.random.split(key, 5)
+    d_a, d_t = cfg.n_audio_state, cfg.n_text_state
+
+    enc_blocks = [
+        _block_init(jax.random.fold_in(k_enc, i), d_a, cross=False)
+        for i in range(cfg.n_audio_layer)
+    ]
+    dec_blocks = [
+        _block_init(jax.random.fold_in(k_dec, i), d_t, cross=True)
+        for i in range(cfg.n_text_layer)
+    ]
+
+    conv_scale1 = 1.0 / np.sqrt(cfg.n_mels * 3)
+    conv_scale2 = 1.0 / np.sqrt(d_a * 3)
+    return {
+        "encoder": {
+            "conv1": {
+                "w": jax.random.uniform(k_conv1, (d_a, cfg.n_mels, 3), jnp.float32,
+                                        -conv_scale1, conv_scale1),
+                "b": jnp.zeros((d_a,), jnp.float32),
+            },
+            "conv2": {
+                "w": jax.random.uniform(k_conv2, (d_a, d_a, 3), jnp.float32,
+                                        -conv_scale2, conv_scale2),
+                "b": jnp.zeros((d_a,), jnp.float32),
+            },
+            "blocks": enc_blocks,
+            "ln_post": _ln_init(d_a),
+        },
+        "decoder": {
+            "token_embedding": jax.random.normal(k_tok, (cfg.n_vocab, d_t), jnp.float32) * 0.02,
+            "positional_embedding": jnp.zeros((cfg.n_text_ctx, d_t), jnp.float32),
+            "blocks": dec_blocks,
+            "ln": _ln_init(d_t),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+def _layer_norm(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    # f32 statistics regardless of compute dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head)
+
+
+def _attention(
+    p: Params,
+    x: jnp.ndarray,
+    xa: Optional[jnp.ndarray],
+    n_head: int,
+    mask: Optional[jnp.ndarray] = None,
+    kv_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Multi-head attention. ``xa`` switches to cross-attention; a
+    ``kv_override`` (pre-projected K/V) bypasses the projections — used for
+    cached decoding."""
+    d = x.shape[-1]
+    scale = (d // n_head) ** -0.25
+
+    q = _split_heads(_linear(p["q"], x), n_head) * scale
+    if kv_override is not None:
+        k, v = kv_override
+    else:
+        src = x if xa is None else xa
+        k = _split_heads(_linear(p["k"], src), n_head)
+        v = _split_heads(_linear(p["v"], src), n_head)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k * scale)
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    return _linear(p["out"], out.reshape(x.shape[0], x.shape[1], d))
+
+
+def _mlp(block: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = jax.nn.gelu(_linear(block["mlp_fc1"], x), approximate=False)
+    return _linear(block["mlp_fc2"], h)
+
+
+def _encoder_block(block: Params, x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    x = x + _attention(block["attn"], _layer_norm(block["attn_ln"], x), None, n_head)
+    x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
+    return x
+
+
+def encode_audio(
+    params: Params,
+    cfg: WhisperConfig,
+    mel: jnp.ndarray,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """mel f32[B, n_mels, 3000] -> audio features [B, 1500, D].
+
+    Equivalent of the reference's ``whisper_model.embed_audio``
+    (`module/align_model.py:91,112`).
+    """
+    enc = params["encoder"]
+    dtype = cfg.compute_dtype
+    x = mel.astype(dtype)
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, enc["conv1"]["w"].shape, ("NCH", "OIH", "NCH"))
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1"]["w"].astype(dtype), (1,), [(1, 1)], dimension_numbers=dn
+    ) + enc["conv1"]["b"].astype(dtype)[None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    dn2 = jax.lax.conv_dimension_numbers(x.shape, enc["conv2"]["w"].shape, ("NCH", "OIH", "NCH"))
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2"]["w"].astype(dtype), (2,), [(1, 1)], dimension_numbers=dn2
+    ) + enc["conv2"]["b"].astype(dtype)[None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+
+    x = x.transpose(0, 2, 1)  # [B, T, D]
+    pos = sinusoid_position_embedding(cfg.n_audio_ctx, cfg.n_audio_state)
+    x = x + jnp.asarray(pos, dtype=dtype)[None, : x.shape[1]]
+
+    block_fn = _encoder_block
+    if remat:
+        block_fn = jax.checkpoint(_encoder_block, static_argnums=(2,))
+    for block in enc["blocks"]:
+        x = block_fn(block, x, cfg.n_audio_head)
+
+    return _layer_norm(enc["ln_post"], x)
+
+
+def _causal_mask(n: int, dtype) -> jnp.ndarray:
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.where(j > i, jnp.finfo(jnp.float32).min, 0.0).astype(dtype)
+
+
+def _decoder_block(
+    block: Params,
+    x: jnp.ndarray,
+    xa: jnp.ndarray,
+    n_head: int,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    x = x + _attention(block["attn"], _layer_norm(block["attn_ln"], x), None, n_head, mask=mask)
+    x = x + _attention(block["cross_attn"], _layer_norm(block["cross_attn_ln"], x), xa, n_head)
+    x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
+    return x
+
+
+def decoder_logits(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,
+    audio_features: jnp.ndarray,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Teacher-forced decoder: tokens i32[B, S], audio_features [B, 1500, D]
+    -> logits f32[B, S, n_vocab].
+
+    Equivalent of ``whisper_model.logits(tokens, audio_features)``
+    (`module/align_model.py:120-121`).
+    """
+    dec = params["decoder"]
+    dtype = cfg.compute_dtype
+    xa = audio_features.astype(dtype)
+
+    s = tokens.shape[1]
+    x = dec["token_embedding"].astype(dtype)[tokens] + dec["positional_embedding"].astype(dtype)[None, :s]
+    mask = _causal_mask(s, dtype)
+
+    block_fn = _decoder_block
+    if remat:
+        block_fn = jax.checkpoint(_decoder_block, static_argnums=(3,))
+    for block in dec["blocks"]:
+        x = block_fn(block, x, xa, cfg.n_text_head, mask)
+
+    x = _layer_norm(dec["ln"], x)
+    # final projection in f32 for stable CE loss
+    return (x.astype(jnp.float32) @ dec["token_embedding"].T.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# KV-cached incremental decoding
+# ---------------------------------------------------------------------------
+
+def init_decode_cache(
+    params: Params, cfg: WhisperConfig, audio_features: jnp.ndarray, max_len: int
+) -> Params:
+    """Precompute cross-attention K/V and allocate static self-attn cache."""
+    dtype = cfg.compute_dtype
+    b = audio_features.shape[0]
+    xa = audio_features.astype(dtype)
+    d_h = cfg.n_text_state // cfg.n_text_head
+    cache = {"blocks": [], "pos": jnp.zeros((), jnp.int32)}
+    for block in params["decoder"]["blocks"]:
+        ck = _split_heads(_linear(block["cross_attn"]["k"], xa), cfg.n_text_head)
+        cv = _split_heads(_linear(block["cross_attn"]["v"], xa), cfg.n_text_head)
+        cache["blocks"].append({
+            "cross_k": ck,
+            "cross_v": cv,
+            "self_k": jnp.zeros((b, max_len, cfg.n_text_head, d_h), dtype),
+            "self_v": jnp.zeros((b, max_len, cfg.n_text_head, d_h), dtype),
+        })
+    return cache
+
+
+def decode_step(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,
+    cache: Params,
+) -> Tuple[jnp.ndarray, Params]:
+    """One autoregressive step: tokens i32[B, 1] -> (logits f32[B, n_vocab],
+    updated cache). Static shapes; usable inside lax.while_loop/scan."""
+    dec = params["decoder"]
+    dtype = cfg.compute_dtype
+    n_head = cfg.n_text_head
+    pos = cache["pos"]
+    max_len = cache["blocks"][0]["self_k"].shape[1]
+
+    x = dec["token_embedding"].astype(dtype)[tokens]
+    x = x + jax.lax.dynamic_slice_in_dim(dec["positional_embedding"].astype(dtype), pos, 1)[None]
+
+    # mask out cache slots beyond the current position
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
+    mask = jnp.where(slot <= pos, 0.0, jnp.finfo(jnp.float32).min).astype(dtype)
+
+    new_blocks = []
+    for block, bc in zip(dec["blocks"], cache["blocks"]):
+        h = _layer_norm(block["attn_ln"], x)
+        q = _split_heads(_linear(block["attn"]["q"], h), n_head)
+        k_new = _split_heads(_linear(block["attn"]["k"], h), n_head)
+        v_new = _split_heads(_linear(block["attn"]["v"], h), n_head)
+        self_k = jax.lax.dynamic_update_slice_in_dim(bc["self_k"], k_new, pos, axis=1)
+        self_v = jax.lax.dynamic_update_slice_in_dim(bc["self_v"], v_new, pos, axis=1)
+
+        scale = (cfg.n_text_state // n_head) ** -0.25
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, self_k * scale) + mask
+        w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(dtype)
+        attn_out = jnp.einsum("bhqk,bkhd->bqhd", w, self_v)
+        x = x + _linear(block["attn"]["out"], attn_out.reshape(x.shape))
+
+        h = _layer_norm(block["cross_attn_ln"], x)
+        x = x + _attention(
+            block["cross_attn"], h, None, n_head,
+            kv_override=(bc["cross_k"], bc["cross_v"]),
+        )
+        x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
+        new_blocks.append({**bc, "self_k": self_k, "self_v": self_v})
+
+    x = _layer_norm(dec["ln"], x)
+    logits = x.astype(jnp.float32) @ dec["token_embedding"].T.astype(jnp.float32)
+    return logits[:, 0], {"blocks": new_blocks, "pos": pos + 1}

@@ -1,0 +1,106 @@
+"""GRU as a `lax.scan` recurrence, TPU-first.
+
+Replaces the cuDNN GRU the reference uses for its alignment head
+(`module/align_model.py:23-28`). Design: the input-to-hidden projection for
+*all* timesteps is hoisted out of the recurrence into one large matmul
+([B,T,In] @ [In,3H] — rides the MXU), so the scan body only carries the
+small hidden-to-hidden matmul and elementwise gates (VPU). Gate order is
+torch's (r, z, n), so converted ``weight_ih_l*``/``weight_hh_l*`` tensors
+drop straight in (transposed to [in, 3H]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def init_gru_cell(key: jax.Array, n_in: int, n_hidden: int) -> Params:
+    """Uniform(-1/sqrt(H), 1/sqrt(H)) init, matching torch.nn.GRU."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    s = 1.0 / np.sqrt(n_hidden)
+    u = lambda k, shape: jax.random.uniform(k, shape, jnp.float32, -s, s)
+    return {
+        "w_ih": u(k1, (n_in, 3 * n_hidden)),
+        "w_hh": u(k2, (n_hidden, 3 * n_hidden)),
+        "b_ih": u(k3, (3 * n_hidden,)),
+        "b_hh": u(k4, (3 * n_hidden,)),
+    }
+
+
+def gru_layer(
+    cell: Params,
+    x: jnp.ndarray,
+    reverse: bool = False,
+    unroll: int = 4,
+) -> jnp.ndarray:
+    """Run one GRU direction over x [B, T, In] -> [B, T, H]."""
+    h_dim = cell["w_hh"].shape[0]
+    dtype = x.dtype
+
+    # hoisted input projection: one MXU matmul for the whole sequence
+    xw = x @ cell["w_ih"].astype(dtype) + cell["b_ih"].astype(dtype)  # [B, T, 3H]
+    w_hh = cell["w_hh"].astype(dtype)
+    b_hh = cell["b_hh"].astype(dtype)
+
+    def step(h, xw_t):
+        hw = h @ w_hh + b_hh  # [B, 3H]
+        xr, xz, xn = jnp.split(xw_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hw, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((x.shape[0], h_dim), dtype)
+    xw_t = jnp.swapaxes(xw, 0, 1)  # [T, B, 3H] scan-major
+    _, ys = jax.lax.scan(step, h0, xw_t, reverse=reverse, unroll=unroll)
+    return jnp.swapaxes(ys, 0, 1)
+
+
+def init_bigru(
+    key: jax.Array, n_in: int, n_hidden: int, num_layers: int = 2,
+    bidirectional: bool = True,
+) -> Params:
+    """Stacked (optionally bidirectional) GRU parameters."""
+    layers: List[Params] = []
+    directions = 2 if bidirectional else 1
+    for layer in range(num_layers):
+        layer_in = n_in if layer == 0 else n_hidden * directions
+        dirs = []
+        for d in range(directions):
+            k = jax.random.fold_in(key, layer * 2 + d)
+            dirs.append(init_gru_cell(k, layer_in, n_hidden))
+        layers.append({"dirs": dirs})
+    return {"layers": layers}
+
+
+def bigru_apply(
+    params: Params,
+    x: jnp.ndarray,
+    dropout: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    unroll: int = 4,
+) -> jnp.ndarray:
+    """Stacked bi-GRU: x [B, T, In] -> [B, T, H * directions].
+
+    Dropout (torch semantics: applied to the outputs of every layer except
+    the last) is active only when a ``rng`` is provided.
+    """
+    layers = params["layers"]
+    for i, layer in enumerate(layers):
+        outs = [gru_layer(layer["dirs"][0], x, reverse=False, unroll=unroll)]
+        if len(layer["dirs"]) == 2:
+            outs.append(gru_layer(layer["dirs"][1], x, reverse=True, unroll=unroll))
+        x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+        if dropout > 0.0 and rng is not None and i < len(layers) - 1:
+            keep = jax.random.bernoulli(jax.random.fold_in(rng, i), 1.0 - dropout, x.shape)
+            x = jnp.where(keep, x / (1.0 - dropout), 0.0)
+    return x

@@ -1,0 +1,65 @@
+"""Scan-GRU parity vs torch.nn.GRU (the reference head's cuDNN numerics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from lyricalignment_tpu.models.align_head import align_head_apply, init_align_head, mish
+from lyricalignment_tpu.ops.gru import bigru_apply, gru_layer, init_bigru, init_gru_cell
+
+
+def load_cell_into_torch(gru: torch.nn.GRU, params, layer: int, direction: int):
+    """Copy our [in,3H] cell params into a torch GRU's layer/direction slots."""
+    suffix = f"_l{layer}" + ("_reverse" if direction == 1 else "")
+    cell = params["layers"][layer]["dirs"][direction]
+    getattr(gru, f"weight_ih{suffix}").data = torch.from_numpy(np.asarray(cell["w_ih"]).T.copy())
+    getattr(gru, f"weight_hh{suffix}").data = torch.from_numpy(np.asarray(cell["w_hh"]).T.copy())
+    getattr(gru, f"bias_ih{suffix}").data = torch.from_numpy(np.asarray(cell["b_ih"]).copy())
+    getattr(gru, f"bias_hh{suffix}").data = torch.from_numpy(np.asarray(cell["b_hh"]).copy())
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_bigru_matches_torch(bidirectional, rng):
+    n_in, n_hidden, layers = 12, 16, 2
+    params = init_bigru(jax.random.PRNGKey(3), n_in, n_hidden, layers, bidirectional)
+    x = rng.standard_normal((3, 9, n_in)).astype(np.float32)
+
+    tgru = torch.nn.GRU(n_in, n_hidden, num_layers=layers, batch_first=True,
+                        bidirectional=bidirectional)
+    for l in range(layers):
+        for d in range(2 if bidirectional else 1):
+            load_cell_into_torch(tgru, params, l, d)
+
+    expected, _ = tgru(torch.from_numpy(x))
+    got = np.asarray(bigru_apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected.detach().numpy(), atol=1e-5, rtol=1e-5)
+
+
+def test_reverse_direction_is_time_flip(rng):
+    cell = init_gru_cell(jax.random.PRNGKey(0), 8, 8)
+    x = rng.standard_normal((2, 6, 8)).astype(np.float32)
+    rev = np.asarray(gru_layer(cell, jnp.asarray(x), reverse=True))
+    flip = np.asarray(gru_layer(cell, jnp.asarray(x[:, ::-1]), reverse=False))[:, ::-1]
+    np.testing.assert_allclose(rev, flip, atol=1e-6)
+
+
+def test_mish_matches_torch(rng):
+    x = rng.standard_normal(100).astype(np.float32)
+    got = np.asarray(mish(jnp.asarray(x)))
+    expected = torch.nn.functional.mish(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_align_head_shapes_and_dropout(rng):
+    params = init_align_head(jax.random.PRNGKey(1), input_dim=32, hidden_dim=16, output_dim=21)
+    x = jnp.asarray(rng.standard_normal((2, 10, 32)).astype(np.float32))
+    logits = align_head_apply(params, x)
+    assert logits.shape == (2, 10, 21)
+    assert logits.dtype == jnp.float32
+    # dropout changes outputs only when an rng is passed
+    d1 = align_head_apply(params, x, dropout=0.5, rng=jax.random.PRNGKey(9))
+    d0 = align_head_apply(params, x, dropout=0.5, rng=None)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(logits))
+    assert np.abs(np.asarray(d1) - np.asarray(logits)).max() > 1e-4

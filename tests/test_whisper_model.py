@@ -1,0 +1,93 @@
+"""JAX Whisper vs independent torch oracle + KV-cache consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lyricalignment_tpu.models.whisper import (
+    WhisperConfig,
+    decode_step,
+    decoder_logits,
+    encode_audio,
+    init_decode_cache,
+    init_whisper_params,
+)
+
+from tests import torch_whisper_oracle as oracle
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    # scaled-down config: full 30 s context is wasteful for unit tests
+    return WhisperConfig(
+        n_mels=80, n_vocab=128, n_audio_ctx=50, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=24, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def params(tiny_cfg):
+    return init_whisper_params(jax.random.PRNGKey(0), tiny_cfg)
+
+
+def np_tree(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def test_encoder_matches_torch_oracle(tiny_cfg, params, rng):
+    mel = rng.standard_normal((2, 80, 100)).astype(np.float32)
+    got = np.asarray(encode_audio(params, tiny_cfg, jnp.asarray(mel)))
+    expected = oracle.encode_audio(np_tree(params), tiny_cfg, mel).detach().numpy()
+    assert got.shape == (2, 50, 64)
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-5)
+
+
+def test_decoder_matches_torch_oracle(tiny_cfg, params, rng):
+    mel = rng.standard_normal((2, 80, 100)).astype(np.float32)
+    tokens = rng.integers(0, 128, size=(2, 7)).astype(np.int32)
+    xa = encode_audio(params, tiny_cfg, jnp.asarray(mel))
+    got = np.asarray(decoder_logits(params, tiny_cfg, jnp.asarray(tokens), xa))
+    xa_t = oracle.encode_audio(np_tree(params), tiny_cfg, mel)
+    expected = oracle.decoder_logits(np_tree(params), tiny_cfg, tokens, xa_t).detach().numpy()
+    assert got.shape == (2, 7, 128)
+    np.testing.assert_allclose(got, expected, atol=5e-5, rtol=1e-4)
+
+
+def test_causal_mask_blocks_future(tiny_cfg, params, rng):
+    # changing a future token must not change earlier logits
+    mel = rng.standard_normal((1, 80, 100)).astype(np.float32)
+    xa = encode_audio(params, tiny_cfg, jnp.asarray(mel))
+    tokens = rng.integers(0, 128, size=(1, 6)).astype(np.int32)
+    base = np.asarray(decoder_logits(params, tiny_cfg, jnp.asarray(tokens), xa))
+    tokens2 = tokens.copy()
+    tokens2[0, -1] = (tokens2[0, -1] + 1) % 128
+    alt = np.asarray(decoder_logits(params, tiny_cfg, jnp.asarray(tokens2), xa))
+    np.testing.assert_allclose(base[:, :-1], alt[:, :-1], atol=1e-6)
+    assert np.abs(base[:, -1] - alt[:, -1]).max() > 1e-4
+
+
+def test_kv_cached_decode_matches_teacher_forced(tiny_cfg, params, rng):
+    mel = rng.standard_normal((2, 80, 100)).astype(np.float32)
+    tokens = rng.integers(0, 128, size=(2, 5)).astype(np.int32)
+    xa = encode_audio(params, tiny_cfg, jnp.asarray(mel))
+
+    full = np.asarray(decoder_logits(params, tiny_cfg, jnp.asarray(tokens), xa))
+
+    cache = init_decode_cache(params, tiny_cfg, xa, max_len=8)
+    step_logits = []
+    for i in range(tokens.shape[1]):
+        logit, cache = decode_step(params, tiny_cfg, jnp.asarray(tokens[:, i: i + 1]), cache)
+        step_logits.append(np.asarray(logit))
+    incremental = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(incremental, full, atol=1e-4, rtol=1e-4)
+
+
+def test_bf16_compute_close_to_f32(tiny_cfg, params, rng):
+    mel = rng.standard_normal((1, 80, 100)).astype(np.float32)
+    f32 = np.asarray(encode_audio(params, tiny_cfg, jnp.asarray(mel)))
+    bf_cfg = WhisperConfig(**{**tiny_cfg.__dict__, "compute_dtype": jnp.bfloat16})
+    bf16 = np.asarray(encode_audio(params, bf_cfg, jnp.asarray(mel))).astype(np.float32)
+    # bf16 has ~3 decimal digits; activations are O(1)
+    assert np.abs(f32 - bf16).mean() < 0.05
