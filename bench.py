@@ -1,0 +1,89 @@
+"""Alignment throughput benchmark.
+
+Measures end-to-end alignment speed — raw audio -> log-mel -> Whisper
+encoder -> bi-GRU syllable head -> Viterbi forced alignment -> on/offsets —
+in audio-seconds processed per wall-second per chip, on synthetic 30 s
+clips (Opencpop-like lyric lengths). Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "audio_sec_per_sec_per_chip",
+     "vs_baseline": N}
+
+``vs_baseline`` is the ratio against the 50x-real-time per-chip target from
+BASELINE.json (the reference publishes no speed numbers — SURVEY.md §6).
+
+Env knobs: BENCH_MODEL (tiny|base|small|medium, default medium),
+BENCH_BATCH (default 8), BENCH_ITERS (default 8), BENCH_SECONDS (clip
+length, default 30).
+"""
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_RTF = 50.0  # x real-time per chip (BASELINE.json north star)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lyricalignment_tpu.models.align_head import align_head_apply
+    from lyricalignment_tpu.models.align_model import AlignModelConfig, init_align_model
+    from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS, encode_audio
+    from lyricalignment_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
+    from lyricalignment_tpu.ops.viterbi import frames_to_seconds, viterbi_align
+    from lyricalignment_tpu import N_FRAMES
+
+    model_name = os.environ.get("BENCH_MODEL", "medium")
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    clip_seconds = float(os.environ.get("BENCH_SECONDS", "30"))
+
+    wcfg = dataclasses.replace(WHISPER_CONFIGS[model_name], compute_dtype=jnp.bfloat16)
+    mcfg = AlignModelConfig(whisper=wcfg, hidden_dim=384, output_dim=21128 + 1)
+    params = init_align_model(jax.random.PRNGKey(0), mcfg)
+
+    n_samples = int(clip_seconds * 16000)
+    max_labels = 48  # typical Opencpop utterance length upper bound
+
+    @jax.jit
+    def align_batch(params, audio, labels, num_labels):
+        mel = pad_or_trim(log_mel_spectrogram(audio), N_FRAMES)
+        embed = encode_audio(params["whisper"], mcfg.whisper, mel)
+        logits = align_head_apply(params["align_head"], embed)
+        t = jnp.full((audio.shape[0],), logits.shape[1], jnp.int32)
+        on, off = viterbi_align(logits, labels, num_labels, t, mode="ctc")
+        return frames_to_seconds(on, off)
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, n_samples)).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rng.integers(2, 400, (batch, max_labels)).astype(np.int32))
+    num_labels = jnp.asarray(np.full((batch,), max_labels, np.int32))
+
+    # warmup / compile
+    align_batch(params, audio, labels, num_labels).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = align_batch(params, audio, labels, num_labels)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = iters * batch * clip_seconds
+    value = audio_seconds / elapsed
+    n_chips = jax.device_count()
+    value_per_chip = value / n_chips
+
+    print(json.dumps({
+        "metric": f"alignment_throughput_{model_name}",
+        "value": round(value_per_chip, 2),
+        "unit": "audio_sec_per_sec_per_chip",
+        "vs_baseline": round(value_per_chip / BASELINE_RTF, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,3 +101,73 @@ def ctc_loss(
 def transcript_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Teacher-forced decoder CE, ignore_index=-100."""
     return masked_ce(logits, targets)
+
+
+# ---------------------------------------------------------------------------
+# Group-masked variants: the reference splits each batch into a "multitask"
+# and a "transcript-only" sub-batch and computes each loss as a mean *within
+# its sub-batch* (`train_multitask.py:188-211,250-319`). With static shapes
+# the split becomes a per-sample mask; each group mean is reproduced exactly,
+# and an empty group contributes 0 (the reference's None-batch case).
+# ---------------------------------------------------------------------------
+
+
+def masked_ce_grouped(
+    logits: jnp.ndarray,       # f32[B, T, C]
+    labels: jnp.ndarray,       # i32[B, T]
+    sample_mask: jnp.ndarray,  # bool[B]
+) -> jnp.ndarray:
+    """CE mean over valid positions of the selected samples (= sub-batch
+    ``F.cross_entropy`` with ignore_index)."""
+    valid = (labels != IGNORE_ID) & sample_mask[:, None]
+    safe = jnp.where(labels == IGNORE_ID, 0, labels)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(valid, nll, 0.0))
+    count = jnp.sum(valid)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+
+def frame_ce_loss_grouped(
+    logits: jnp.ndarray,
+    frame_labels: jnp.ndarray,
+    sample_mask: jnp.ndarray,
+    with_silence_head: bool = False,
+    vocab_size: int = 21128,
+) -> jnp.ndarray:
+    """Group-masked version of ``frame_ce_loss``."""
+    frame_labels = _reconcile_label_length(frame_labels, logits.shape[1])
+    if not with_silence_head:
+        return masked_ce_grouped(logits, frame_labels, sample_mask)
+
+    valid = frame_labels != IGNORE_ID
+    shifted = jnp.where(valid, frame_labels - 1, IGNORE_ID)
+    word_loss = masked_ce_grouped(logits[:, :, 1:vocab_size], shifted, sample_mask)
+
+    silence_label = jnp.where(valid, 0.0, 1.0)
+    sil_logit = logits[:, :, vocab_size]
+    per_elem = optax.sigmoid_binary_cross_entropy(sil_logit, silence_label)
+    m = sample_mask[:, None]
+    count = jnp.sum(m) * sil_logit.shape[1]
+    sil_loss = jnp.where(
+        count > 0, jnp.sum(jnp.where(m, per_elem, 0.0)) / jnp.maximum(count, 1), 0.0
+    )
+    return word_loss + sil_loss
+
+
+def ctc_loss_grouped(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    sample_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Group-masked CTC with torch mean semantics within the group."""
+    b, t, _ = logits.shape
+    label_padding = (labels == IGNORE_ID).astype(jnp.float32)
+    safe_labels = jnp.where(labels == IGNORE_ID, 0, labels)
+    logit_padding = jnp.zeros((b, t), jnp.float32)
+    per_example = optax.ctc_loss(logits, logit_padding, safe_labels, label_padding, blank_id=0)
+    target_len = jnp.maximum(jnp.sum(labels != IGNORE_ID, axis=1), 1)
+    per_example = per_example / target_len
+    count = jnp.sum(sample_mask)
+    total = jnp.sum(jnp.where(sample_mask, per_example, 0.0))
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)

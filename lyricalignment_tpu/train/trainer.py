@@ -1,0 +1,198 @@
+"""Jitted multitask trainer: one compiled update, grad accumulation by scan,
+data-parallel over the TPU mesh.
+
+Reference call-stack parity (`train_multitask.py:215-342,345-458`): each
+step pulls ``accum_grad_steps`` micro-batches, computes
+``align_CE (+align_CTC) + transcript_CE`` with the multitask/transcript
+group split, accumulates gradients, clips the global norm, and applies one
+AdamW step with the two-group LR schedule. Differences by design:
+
+  * the whole step (forward x accum, backward, clip, update) is ONE jitted
+    function; micro-batches arrive stacked ``[accum, B, ...]`` and are
+    consumed by ``lax.scan`` — no host round-trips inside a step;
+  * the dynamic sub-batch split is a ``has_alignment`` mask into
+    group-masked losses (losses.py);
+  * data parallelism: batches are sharded over the mesh's "data" axis and
+    params per ``parallel.mesh`` rules; XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lyricalignment_tpu.models.align_model import (
+    AlignModelConfig,
+    forward_from_audio,
+)
+from lyricalignment_tpu.train.losses import (
+    ctc_loss_grouped,
+    frame_ce_loss_grouped,
+    masked_ce_grouped,
+)
+from lyricalignment_tpu.train.schedule import make_optimizer
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    head_lr: float = 5e-3
+    backbone_lr: float = 5e-6
+    weight_decay: float = 1e-5
+    warmup_steps: int = 200
+    total_steps: int = 2000
+    max_grad_norm: float = 1.0
+    accum_grad_steps: int = 8
+    use_ctc: bool = False
+    vocab_size: int = 21128          # BERT vocab; silence channel sits at this index
+    remat: bool = False
+    seed: int = 114514
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params: Dict, tcfg: TrainConfig) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = make_optimizer(
+        params,
+        head_lr=tcfg.head_lr,
+        backbone_lr=tcfg.backbone_lr,
+        weight_decay=tcfg.weight_decay,
+        warmup_steps=tcfg.warmup_steps,
+        total_steps=tcfg.total_steps,
+        max_grad_norm=tcfg.max_grad_norm,
+    )
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)), tx
+
+
+def multitask_losses(
+    params: Dict,
+    mcfg: AlignModelConfig,
+    tcfg: TrainConfig,
+    batch: Dict[str, jnp.ndarray],
+    dropout_rng: Optional[jax.Array],
+    allow_transcript: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Loss composition of the reference's ``train_step`` body
+    (`train_multitask.py:250-325`) on one fixed-shape batch."""
+    align_logits, trans_logits = forward_from_audio(
+        params, mcfg, batch["audio"],
+        y_in=batch["decoder_input"] if (mcfg.train_transcript and allow_transcript) else None,
+        trim_to_input_length=False,
+        dropout_rng=dropout_rng,
+        remat=tcfg.remat,
+    )
+
+    align_mask = batch["has_alignment"]
+    trans_mask = ~batch["has_alignment"]
+    zero = jnp.zeros((), jnp.float32)
+
+    align_ce = align_ctc = trans_ce = trans_ctc = zero
+    if mcfg.train_alignment:
+        align_ce = frame_ce_loss_grouped(
+            align_logits, batch["frame_labels"], align_mask,
+            with_silence_head=tcfg.use_ctc, vocab_size=tcfg.vocab_size,
+        )
+        if tcfg.use_ctc:
+            align_ctc = ctc_loss_grouped(
+                align_logits[:, :, : tcfg.vocab_size], batch["ctc_labels"], align_mask,
+            )
+            if allow_transcript:
+                # the reference also applies CTC to transcript-only samples
+                # (`train_multitask.py:312-315`)
+                trans_ctc = ctc_loss_grouped(
+                    align_logits[:, :, : tcfg.vocab_size], batch["ctc_labels"], trans_mask,
+                )
+
+    if mcfg.train_transcript and allow_transcript and trans_logits is not None:
+        # two group means, summed — matching the reference's separate
+        # multitask/transcript F.cross_entropy calls (`:285,308`)
+        trans_ce = (
+            masked_ce_grouped(trans_logits, batch["decoder_output"], align_mask)
+            + masked_ce_grouped(trans_logits, batch["decoder_output"], trans_mask)
+        )
+
+    total = align_ce + align_ctc + trans_ce + trans_ctc
+    return total, {
+        "total": total,
+        "align_ce": align_ce,
+        "align_ctc": align_ctc,
+        "trans_ce": trans_ce,
+        "trans_ctc": trans_ctc,
+    }
+
+
+def make_train_step(
+    mcfg: AlignModelConfig,
+    tcfg: TrainConfig,
+    tx: optax.GradientTransformation,
+) -> Callable:
+    """Build the jitted update. Batch leaves are stacked [accum, B, ...]."""
+
+    def train_step(state: TrainState, stacked: Dict[str, jnp.ndarray], rng: jax.Array):
+        def micro(carry, xs):
+            grad_acc, loss_acc = carry
+            micro_batch, key = xs
+            (loss, losses), grads = jax.value_and_grad(
+                lambda p: multitask_losses(p, mcfg, tcfg, micro_batch, key),
+                has_aux=True,
+            )(state.params)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            loss_acc = jax.tree_util.tree_map(jnp.add, loss_acc, losses)
+            return (grad_acc, loss_acc), None
+
+        zeros_like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+        grad0 = zeros_like(state.params)
+        loss0 = {k: jnp.zeros((), jnp.float32)
+                 for k in ("total", "align_ce", "align_ctc", "trans_ce", "trans_ctc")}
+        keys = jax.random.split(jax.random.fold_in(rng, state.step), tcfg.accum_grad_steps)
+
+        (grads, losses), _ = jax.lax.scan(micro, (grad0, loss0), (stacked, keys))
+        # mean over micro-steps: the reference backprops loss/accum per micro
+        grads = jax.tree_util.tree_map(lambda g: g / tcfg.accum_grad_steps, grads)
+        losses = {k: v / tcfg.accum_grad_steps for k, v in losses.items()}
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), losses
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(mcfg: AlignModelConfig, tcfg: TrainConfig) -> Callable:
+    def eval_step(params: Dict, batch: Dict[str, jnp.ndarray]):
+        _, losses = multitask_losses(params, mcfg, tcfg, batch, dropout_rng=None)
+        return losses
+
+    return jax.jit(eval_step)
+
+
+def evaluate(eval_step: Callable, params: Dict, batches) -> Dict[str, float]:
+    """Average eval losses over a loader (reference ``evaluate``,
+    `train_multitask.py:345-458`)."""
+    sums: Dict[str, float] = {}
+    n = 0
+    for batch in batches:
+        losses = eval_step(params, batch.device_arrays())
+        for k, v in losses.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    return {k: v / max(n, 1) for k, v in sums.items()}
+
+
+def stack_microbatches(batches) -> Dict[str, jnp.ndarray]:
+    """accum list of MultitaskBatch -> leaves [accum, B, ...]."""
+    import numpy as np
+
+    arrays = [b.device_arrays() for b in batches]
+    return {k: np.stack([a[k] for a in arrays]) for k in arrays[0]}
