@@ -63,13 +63,16 @@ def main():
     labels = jnp.asarray(rng.integers(2, 400, (batch, max_labels)).astype(np.int32))
     num_labels = jnp.asarray(np.full((batch,), max_labels, np.int32))
 
-    # warmup / compile
-    align_batch(params, audio, labels, num_labels).block_until_ready()
+    # warmup / compile; fetch to host — under the axon relay
+    # block_until_ready() returns before remote completion, so a host
+    # materialization is the only reliable completion barrier
+    np.asarray(align_batch(params, audio, labels, num_labels))
 
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = align_batch(params, audio, labels, num_labels)
-    out.block_until_ready()
+    _ = np.asarray(out[0, 0])  # FIFO stream: last result fetch waits for all
     elapsed = time.perf_counter() - t0
 
     audio_seconds = iters * batch * clip_seconds

@@ -1,0 +1,121 @@
+"""Alignment evaluation CLI: forced-align test data, report MAE.
+
+Re-design of the reference's ``inference_alignment.py`` (`:126-214`):
+loads a trained model dir, runs the frame head on each sample, Viterbi
+forced alignment (CE or CTC emissions), and averages MAE over batches.
+
+TPU notes: audio lengths are bucketed (``--bucket-seconds``) so the jitted
+forward compiles once per bucket instead of per unique length; the Viterbi
+is masked to each sample's true frame count (round(mel_len / 2), the
+reference's ``get_orig_len=True`` trim at `module/align_model.py:88-92`).
+The bidirectional GRU sees up to one bucket of padding frames that the
+reference's exact-trim path does not — sub-bucket granularity bounds the
+deviation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lyricalignment_tpu import HOP_LENGTH, N_SAMPLES
+from lyricalignment_tpu.cli.common import add_asset_args, build_tokenizers, load_model_dir, set_seed
+from lyricalignment_tpu.data.audio_io import load_audio_file
+from lyricalignment_tpu.data.records import read_data
+from lyricalignment_tpu.models.align_model import forward_from_audio
+from lyricalignment_tpu.ops.viterbi import frames_to_seconds, viterbi_align
+from lyricalignment_tpu.text.pinyin import load_pronunciation_table
+from lyricalignment_tpu.utils.metrics import mae
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-f", "--test-data", type=str, required=True)
+    p.add_argument("--model-dir", type=str, required=True)
+    p.add_argument("--model-name", default="best",
+                   choices=["best", "best_align", "best_trans", "last"])
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--is-mixture", type=int, choices=[0, 1, 2], default=0)
+    p.add_argument("--use-ctc-loss", action="store_true")
+    p.add_argument("--seed", type=int, default=114514)
+    p.add_argument("--bucket-seconds", type=float, default=5.0)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--max-label-len", type=int, default=128)
+    add_asset_args(p)
+    return p.parse_args()
+
+
+def bucket_samples(n_samples: int, bucket_seconds: float) -> int:
+    bucket = max(1, int(round(bucket_seconds * 16000)))
+    return min(max(bucket, math.ceil(n_samples / bucket) * bucket), N_SAMPLES)
+
+
+def align_records(records, params, mcfg, table, bert, args):
+    """Yield (record, [[on, off], ...]) for records that have audio."""
+    mode = "ctc" if args.use_ctc_loss else "ce"
+
+    @jax.jit
+    def forward(params, audio):
+        logits, _ = forward_from_audio(params, mcfg, audio, trim_to_input_length=True)
+        return logits
+
+    for record in records:
+        audio = load_audio_file(record.audio_path, args.is_mixture)["speech"]
+        padded_len = bucket_samples(len(audio), args.bucket_seconds)
+        a = np.zeros((1, padded_len), np.float32)
+        a[0, : min(len(audio), padded_len)] = audio[:padded_len]
+
+        logits = forward(params, jnp.asarray(a))
+
+        ids = np.asarray(bert.encode(record.text, add_special_tokens=False), np.int32)
+        classes = table.map_tokens(ids)
+        L = min(len(classes), args.max_label_len)
+        labels = np.full((1, args.max_label_len), 0, np.int32)
+        labels[0, :L] = classes[:L]
+
+        mel_len = min(len(audio), padded_len) // HOP_LENGTH
+        true_frames = min(int(round(mel_len / 2.0)), logits.shape[1])
+
+        on, off = viterbi_align(
+            logits, jnp.asarray(labels),
+            jnp.asarray([L], jnp.int32),
+            jnp.asarray([true_frames], jnp.int32),
+            mode=mode,
+        )
+        sec = np.asarray(frames_to_seconds(on, off))[0, :L]
+        yield record, [[float(s), float(e)] for s, e in sec]
+
+
+def main():
+    args = parse_args()
+    set_seed(args.seed)
+    assert os.path.exists(args.model_dir)
+    assert os.path.exists(args.test_data)
+
+    mcfg, params, _ = load_model_dir(args.model_dir, args.model_name, use_bf16=args.bf16)
+    bert, _ = build_tokenizers(args)
+    table = load_pronunciation_table()
+    records = [r for r in read_data(args.test_data)]
+
+    total_mae = 0.0
+    cnt = 0
+    for record, segments in align_records(records, params, mcfg, table, bert, args):
+        if record.lyric_onset_offset is None:
+            continue  # reference skips samples without ground truth (:156-157)
+        sample_mae = mae([record.lyric_onset_offset], [segments])
+        total_mae += sample_mae
+        cnt += 1
+        print(f"{os.path.basename(record.audio_path)}: MAE={sample_mae:.4f}")
+
+    avg_mae = total_mae / max(cnt, 1)
+    print("Average MAE:", avg_mae)
+    return avg_mae
+
+
+if __name__ == "__main__":
+    main()

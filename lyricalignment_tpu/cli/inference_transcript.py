@@ -1,0 +1,136 @@
+"""Transcription CLI: batched KV-cached beam search -> result JSON.
+
+Re-design of the reference's ``inference_transcript.py`` (`:72-190`):
+loads a fine-tuned AlignModel's whisper (or a pretrained checkpoint with
+``--use-pretrained``), transcribes each record with beam search
+(default beam 5) and writes ``[{song_id, song_path, lyric?, inference}]``.
+Refuses to overwrite an existing output file (reference `:153-157`).
+
+TPU re-design: records are transcribed in fixed-size batches through one
+jitted beam-search while_loop (the reference decodes one song at a time,
+crossing host<->device every token). Decoding runs in no-timestamp mode;
+evaluation normalization strips non-text anyway.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lyricalignment_tpu import N_FRAMES, N_SAMPLES
+from lyricalignment_tpu.cli.common import add_asset_args, build_tokenizers, load_model_dir, set_seed
+from lyricalignment_tpu.data.audio_io import load_audio_file
+from lyricalignment_tpu.data.records import read_data
+from lyricalignment_tpu.decode.beam import beam_search, greedy_decode
+from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS, encode_audio
+from lyricalignment_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-f", "--test-data", type=str, required=True)
+    p.add_argument("--model-dir", type=str, required=True)
+    p.add_argument("--use-pretrained", action="store_true")
+    p.add_argument("--use-groundtruth", action="store_true")
+    p.add_argument("--beam_size", type=int, default=5)
+    p.add_argument("--is-mixture", type=int, choices=[0, 1, 2], default=0)
+    p.add_argument("-o", "--output", type=str, default="output/result.json")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-new-tokens", type=int, default=224)
+    p.add_argument("--language", type=str, default="zh")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--seed", type=int, default=114514)
+    add_asset_args(p)
+    return p.parse_args()
+
+
+def transcribe_records(records, params, wcfg, whisper_tok, args):
+    prompt_ids = list(whisper_tok.sot_sequence) + [whisper_tok.no_timestamps]
+
+    @jax.jit
+    def encode(params, audio):
+        mel = pad_or_trim(log_mel_spectrogram(audio), N_FRAMES)
+        return encode_audio(params, wcfg, mel)
+
+    results = []
+    bs = args.batch_size
+    for i in range(0, len(records), bs):
+        chunk = records[i: i + bs]
+        audio = np.zeros((len(chunk), N_SAMPLES), np.float32)
+        for j, r in enumerate(chunk):
+            a = load_audio_file(r.audio_path, args.is_mixture)["speech"]
+            n = min(len(a), N_SAMPLES)
+            audio[j, :n] = a[:n]
+
+        xa = encode(params, jnp.asarray(audio))
+        prompt = jnp.asarray(np.tile(prompt_ids, (len(chunk), 1)).astype(np.int32))
+        if args.beam_size > 1:
+            tokens, _ = beam_search(
+                params, wcfg, xa, prompt, beam_size=args.beam_size,
+                max_new_tokens=args.max_new_tokens, eot=whisper_tok.eot,
+            )
+        else:
+            tokens = greedy_decode(
+                params, wcfg, xa, prompt,
+                max_new_tokens=args.max_new_tokens, eot=whisper_tok.eot,
+            )
+        tokens = np.asarray(tokens)
+
+        for j, r in enumerate(chunk):
+            row = [int(t) for t in tokens[j] if int(t) != whisper_tok.eot]
+            text = whisper_tok.decode(row) if whisper_tok.has_bpe else json.dumps(row)
+            entry = {"song_id": Path(r.audio_path).stem, "song_path": r.audio_path}
+            if args.use_groundtruth:
+                entry["lyric"] = r.text
+            entry["inference"] = text
+            results.append(entry)
+            print(entry["song_id"], "->", text[:60])
+    return results
+
+
+def main():
+    args = parse_args()
+    set_seed(args.seed)
+    if os.path.exists(args.output):
+        print("File Exists, Pass")
+        return
+
+    from lyricalignment_tpu.text.whisper_tokenizer import WhisperTokenizer
+
+    whisper_tok = WhisperTokenizer(
+        multilingual=True, language=args.language, task="transcribe",
+        bpe_path=args.whisper_bpe,
+    )
+
+    if os.path.exists(args.model_dir) and not args.use_pretrained:
+        mcfg, align_params, _ = load_model_dir(args.model_dir, "best", use_bf16=args.bf16)
+        wcfg, params = mcfg.whisper, align_params["whisper"]
+    elif args.whisper_checkpoint:
+        from lyricalignment_tpu.models.convert import load_openai_checkpoint
+
+        print("Use pretrained model")
+        wcfg, params = load_openai_checkpoint(args.whisper_checkpoint)
+        if args.bf16:
+            import dataclasses
+
+            wcfg = dataclasses.replace(wcfg, compute_dtype=jnp.bfloat16)
+    else:
+        raise SystemExit("--model-dir not found; pass --whisper-checkpoint for "
+                         "a pretrained run (no network downloads available)")
+
+    records = read_data(args.test_data)
+    results = transcribe_records(records, params, wcfg, whisper_tok, args)
+
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+    with open(args.output, "w", encoding="utf-8") as f:
+        json.dump(results, f, indent=2, ensure_ascii=False)
+
+
+if __name__ == "__main__":
+    main()

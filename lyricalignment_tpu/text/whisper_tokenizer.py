@@ -105,7 +105,18 @@ class WhisperTokenizer:
         if self._encoding is None:
             raise RuntimeError("Text decoding needs BPE ranks (see encode).")
         ids = [int(i) for i in ids if int(i) < self.eot]
-        return self._encoding.decode(ids)
+        try:
+            return self._encoding.decode(ids)
+        except KeyError:
+            # ids outside the ranks table (possible with partial/synthetic
+            # ranks files): best-effort skip of unknown tokens
+            parts = []
+            for i in ids:
+                try:
+                    parts.append(self._encoding.decode_single_token_bytes(i))
+                except KeyError:
+                    continue
+            return b"".join(parts).decode("utf-8", errors="replace")
 
     def decode_with_timestamps(self, ids: Sequence[int]) -> str:
         out = []
