@@ -51,7 +51,12 @@ def parse_args():
 
 
 def bucket_samples(n_samples: int, bucket_seconds: float) -> int:
+    """Round audio length up to a bucket so jit compiles once per bucket.
+    Above 30 s, buckets are whole 30 s windows (the chunked encoder path,
+    reference `module/align_model.py:94-105`)."""
     bucket = max(1, int(round(bucket_seconds * 16000)))
+    if n_samples > N_SAMPLES:
+        return math.ceil(n_samples / N_SAMPLES) * N_SAMPLES
     return min(max(bucket, math.ceil(n_samples / bucket) * bucket), N_SAMPLES)
 
 
