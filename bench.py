@@ -33,7 +33,7 @@ def main():
     from lyricalignment_tpu.models.align_head import align_head_apply
     from lyricalignment_tpu.models.align_model import AlignModelConfig, init_align_model
     from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS, encode_audio
-    from lyricalignment_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
+    from lyricalignment_tpu.ops.mel import log_mel, pad_or_trim
     from lyricalignment_tpu.ops.viterbi import frames_to_seconds, viterbi_align
     from lyricalignment_tpu import N_FRAMES
 
@@ -51,7 +51,7 @@ def main():
 
     @jax.jit
     def align_batch(params, audio, labels, num_labels):
-        mel = pad_or_trim(log_mel_spectrogram(audio), N_FRAMES)
+        mel = pad_or_trim(log_mel(audio), N_FRAMES)
         embed = encode_audio(params["whisper"], mcfg.whisper, mel)
         logits = align_head_apply(params["align_head"], embed)
         t = jnp.full((audio.shape[0],), logits.shape[1], jnp.int32)

@@ -85,6 +85,13 @@ def parse_args():
     p.add_argument("--remat", action="store_true")
     p.add_argument("--max-label-len", type=int, default=128)
     p.add_argument("--max-decoder-len", type=int, default=160)
+    p.add_argument("--log-every", type=int, default=1,
+                   help="write metrics every N steps (device sync per write)")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard scalars under save-dir/tb")
+    p.add_argument("--profile-at-step", type=int, default=0,
+                   help="capture a device profile (save-dir/profile) around "
+                        "this train step (0 = off)")
     add_asset_args(p)
     return p.parse_args()
 
@@ -164,20 +171,35 @@ def main():
           f"transcript CTC: {init_losses['trans_ctc']:.4f}")
     policy = BestCheckpointPolicy(args.save_dir, init_losses)
 
+    from lyricalignment_tpu.utils.observability import MetricLogger, profile_session, trace
+
+    metrics = MetricLogger(args.save_dir, tensorboard=args.tensorboard)
     rng = jax.random.PRNGKey(args.seed)
     train_iter = infinite_batches(train_loader)
     avg = {k: 0.0 for k in init_losses}
     t_start = time.time()
+    profiling = None
 
     for step in range(1, args.train_steps + 1):
-        micro = [next(train_iter) for _ in range(args.accum_grad_steps)]
-        stacked = stack_microbatches(micro)
+        if args.profile_at_step and step == args.profile_at_step:
+            profiling = profile_session(os.path.join(args.save_dir, "profile"))
+            profiling.__enter__()
+        with trace("data"):
+            micro = [next(train_iter) for _ in range(args.accum_grad_steps)]
+            stacked = stack_microbatches(micro)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sharding = NamedSharding(mesh, P(None, "data"))
             stacked = {k: jax.device_put(v, sharding) for k, v in stacked.items()}
-        state, losses = train_step(state, stacked, rng)
+        with trace("train_step"):
+            state, losses = train_step(state, stacked, rng)
+        if profiling is not None and step >= args.profile_at_step:
+            jax.tree_util.tree_map(lambda x: x.block_until_ready(), losses)
+            profiling.__exit__(None, None, None)
+            profiling = None
+        if step % args.log_every == 0:
+            metrics.log(step, {k: float(v) for k, v in losses.items()})
         for k in avg:
             avg[k] += float(losses[k])
 

@@ -31,7 +31,7 @@ from lyricalignment_tpu.models.whisper import (
     encode_audio,
     init_whisper_params,
 )
-from lyricalignment_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
+from lyricalignment_tpu.ops.mel import log_mel, pad_or_trim
 
 Params = Dict[str, Any]
 
@@ -111,7 +111,7 @@ def forward_from_audio(
     one 30 s window, keep all 1500 frames, `module/align_model.py:108-115`);
     True reproduces inference behavior (`module/align_model.py:86-105`).
     """
-    mel = log_mel_spectrogram(audio)  # [B, 80, T_mel]
+    mel = log_mel(audio)  # [B, 80, T_mel] (fused Pallas kernel on TPU)
     t_mel = mel.shape[-1]
 
     if not trim_to_input_length or t_mel == N_FRAMES:

@@ -91,13 +91,30 @@ def _frame(audio: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
 
     Matches torch.stft(center=True, pad_mode='reflect'); the final frame
     (the one Whisper drops) is never materialised.
+
+    Zero-gather construction: with n_fft = 400 = 2*hop + hop//2, reshape the
+    padded audio into hop-sized rows R[t] = samples [t*hop, (t+1)*hop); then
+    frame t = concat(R[t], R[t+1], R[t+2][:hop//2]) — three static slices
+    instead of a T'x400 gather (the gather materialises 2.5x the audio and
+    defeats XLA fusion).
     """
     pad = n_fft // 2
     padded = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
     num_frames = audio.shape[-1] // hop  # after dropping Whisper's last frame
-    # gather frames as a strided view: idx[t, n] = t * hop + n
-    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    return padded[..., idx]
+
+    assert n_fft == 2 * hop + hop // 2, "framing trick needs n_fft = 2.5*hop"
+    # pad to a whole number of hop rows covering frame num_frames-1's window
+    need = (num_frames + 2) * hop
+    if padded.shape[-1] < need:
+        padded = jnp.pad(padded, [(0, 0)] * (padded.ndim - 1) + (
+            [(0, need - padded.shape[-1])]))
+    rows = padded[..., :need].reshape(*padded.shape[:-1], num_frames + 2, hop)
+    return jnp.concatenate(
+        [rows[..., 0:num_frames, :],
+         rows[..., 1:num_frames + 1, :],
+         rows[..., 2:num_frames + 2, : hop // 2]],
+        axis=-1,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_mels", "per_sample_max"))
@@ -156,3 +173,13 @@ def pad_or_trim(
         pad_widths[axis] = (0, length - cur)
         return jnp.pad(array, pad_widths)
     return array
+
+
+def log_mel(audio: jnp.ndarray, per_sample_max: bool = False) -> jnp.ndarray:
+    """Backend-dispatching log-mel: the fused Pallas kernel on TPU, the
+    einsum path elsewhere (numerically interchangeable to f32 rounding)."""
+    if not per_sample_max and jax.default_backend() == "tpu":
+        from lyricalignment_tpu.ops.mel_pallas import fused_log_mel
+
+        return fused_log_mel(audio)
+    return log_mel_spectrogram(audio, per_sample_max=per_sample_max)

@@ -78,3 +78,14 @@ def test_pad_or_trim():
     assert (padded[:, 100:] == 0).all()
     trimmed = np.asarray(pad_or_trim(np.ones((80, 4000), np.float32), 3000))
     assert trimmed.shape == (80, 3000)
+
+
+def test_fused_pallas_mel_matches_jnp_path(filters, rng):
+    import jax.numpy as jnp
+    from lyricalignment_tpu.ops.mel_pallas import fused_log_mel
+
+    audio = rng.standard_normal((2, 3 * 16000)).astype(np.float32) * 0.1
+    ref = np.asarray(log_mel_spectrogram(jnp.asarray(audio)))
+    got = np.asarray(fused_log_mel(jnp.asarray(audio), interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
