@@ -70,7 +70,14 @@ def load_audio_file(path: str, audio_type: int = 0) -> Dict[str, np.ndarray]:
     """Load + resample an audio file; returns {'speech': f32[T], 'sampling_rate'}.
 
     audio_type semantics match the reference (`utils/audio.py:3-20`).
+    Dispatches to the native C++ loader (``data/native_loader.py``) when the
+    toolchain built it; set LA_TPU_NO_NATIVE=1 to force this Python path.
     """
+    from lyricalignment_tpu.data import native_loader
+
+    if native_loader.available():
+        return native_loader.load_audio_file_native(path, audio_type)
+
     data, sr = read_wav(path)
     data = resample(data, sr)
 
