@@ -51,6 +51,10 @@ def parse_args():
 
 
 def transcribe_records(records, params, wcfg, whisper_tok, args):
+    """Batched windowed transcription. Long audio (> 30 s) is split into
+    30 s windows decoded independently (batched together) and the window
+    texts concatenated — the TPU-shaped counterpart of whisper's sequential
+    long-form seek loop."""
     prompt_ids = list(whisper_tok.sot_sequence) + [whisper_tok.no_timestamps]
 
     @jax.jit
@@ -58,16 +62,22 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
         mel = pad_or_trim(log_mel_spectrogram(audio), N_FRAMES)
         return encode_audio(params, wcfg, mel)
 
-    results = []
-    bs = args.batch_size
-    for i in range(0, len(records), bs):
-        chunk = records[i: i + bs]
-        audio = np.zeros((len(chunk), N_SAMPLES), np.float32)
-        for j, r in enumerate(chunk):
-            a = load_audio_file(r.audio_path, args.is_mixture)["speech"]
-            n = min(len(a), N_SAMPLES)
-            audio[j, :n] = a[:n]
+    # expand records into (record_idx, window) work items
+    work = []
+    for ri, r in enumerate(records):
+        a = load_audio_file(r.audio_path, args.is_mixture)["speech"]
+        n_windows = max(1, -(-len(a) // N_SAMPLES))
+        for w in range(n_windows):
+            seg = a[w * N_SAMPLES: (w + 1) * N_SAMPLES]
+            win = np.zeros((N_SAMPLES,), np.float32)
+            win[: len(seg)] = seg
+            work.append((ri, w, win))
 
+    texts: dict = {}
+    bs = args.batch_size
+    for i in range(0, len(work), bs):
+        chunk = work[i: i + bs]
+        audio = np.stack([w[2] for w in chunk])
         xa = encode(params, jnp.asarray(audio))
         prompt = jnp.asarray(np.tile(prompt_ids, (len(chunk), 1)).astype(np.int32))
         if args.beam_size > 1:
@@ -81,16 +91,21 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
                 max_new_tokens=args.max_new_tokens, eot=whisper_tok.eot,
             )
         tokens = np.asarray(tokens)
-
-        for j, r in enumerate(chunk):
-            row = [int(t) for t in tokens[j] if int(t) != whisper_tok.eot]
+        for (ri, w, _), row_tokens in zip(chunk, tokens):
+            row = [int(t) for t in row_tokens if int(t) != whisper_tok.eot]
             text = whisper_tok.decode(row) if whisper_tok.has_bpe else json.dumps(row)
-            entry = {"song_id": Path(r.audio_path).stem, "song_path": r.audio_path}
-            if args.use_groundtruth:
-                entry["lyric"] = r.text
-            entry["inference"] = text
-            results.append(entry)
-            print(entry["song_id"], "->", text[:60])
+            texts.setdefault(ri, {})[w] = text
+
+    results = []
+    for ri, r in enumerate(records):
+        windows = texts.get(ri, {})
+        text = "".join(windows[w] for w in sorted(windows))
+        entry = {"song_id": Path(r.audio_path).stem, "song_path": r.audio_path}
+        if args.use_groundtruth:
+            entry["lyric"] = r.text
+        entry["inference"] = text
+        results.append(entry)
+        print(entry["song_id"], "->", text[:60])
     return results
 
 
