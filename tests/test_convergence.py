@@ -1,0 +1,104 @@
+"""Golden end-to-end integration test: the framework must LEARN alignment.
+
+Synthetic task: syllable classes are pure tones at distinct frequencies;
+train the alignment head (frozen random encoder — the realistic regime,
+since the real recipe keeps a pretrained backbone at lr 5e-6) with the
+actual jitted trainer, then Viterbi-align and check MAE against ground
+truth. With 200 steps this lands around MAE ~0.01-0.05 s; a broken
+gradient path, loss, Viterbi kernel, or label rasterizer pushes it to the
+~1-2 s degenerate regime.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lyricalignment_tpu.data.frames import rasterize_frame_labels
+from lyricalignment_tpu.models.align_model import (
+    AlignModelConfig,
+    forward_from_audio,
+    init_align_model,
+)
+from lyricalignment_tpu.models.whisper import WhisperConfig
+from lyricalignment_tpu.ops.viterbi import frames_to_seconds, viterbi_align
+from lyricalignment_tpu.train.trainer import TrainConfig, init_train_state, make_train_step
+from lyricalignment_tpu.utils.metrics import mae
+
+FREQS = {1: 220.0, 2: 440.0, 3: 880.0, 4: 1760.0}
+SR = 16000
+VOCAB = 6
+
+
+def make_clip(rng, n_syll=5):
+    labels, onoff = [], []
+    audio = np.zeros(8 * SR, np.float32)
+    t = 0.3
+    for _ in range(n_syll):
+        c = int(rng.integers(1, 5))
+        s, e = int(t * SR), int((t + 0.4) * SR)
+        audio[s:e] = 0.4 * np.sin(2 * np.pi * FREQS[c] * np.arange(e - s) / SR)
+        labels.append(c)
+        onoff.append([t, t + 0.4])
+        t += 0.65
+    return audio, labels, onoff
+
+
+@pytest.mark.slow
+def test_learns_alignment_end_to_end():
+    rng = np.random.default_rng(0)
+    clips = [make_clip(rng) for _ in range(6)]
+
+    mcfg = AlignModelConfig(
+        whisper=WhisperConfig(n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+                              n_text_state=64, n_text_head=4, n_text_layer=1,
+                              n_vocab=32),
+        hidden_dim=32, output_dim=VOCAB, dropout=0.0, freeze_encoder=True,
+        train_alignment=True, train_transcript=False,
+    )
+    tcfg = TrainConfig(accum_grad_steps=1, use_ctc=False, vocab_size=VOCAB,
+                       total_steps=1000, warmup_steps=20, head_lr=2e-3)
+    params = init_align_model(jax.random.PRNGKey(0), mcfg)
+    state, tx = init_train_state(params, tcfg)
+    step_fn = make_train_step(mcfg, tcfg, tx)
+
+    def make_batch(idx):
+        b = {"audio": np.zeros((len(idx), 480000), np.float32),
+             "ctc_labels": np.full((len(idx), 8), -100, np.int32),
+             "frame_labels": np.zeros((len(idx), 1500), np.int32),
+             "label_lengths": np.zeros((len(idx),), np.int32),
+             "has_alignment": np.ones((len(idx),), bool),
+             "decoder_input": np.zeros((len(idx), 4), np.int32),
+             "decoder_output": np.full((len(idx), 4), -100, np.int32)}
+        for j, i in enumerate(idx):
+            a, lab, onoff = clips[i]
+            b["audio"][j, : len(a)] = a
+            b["frame_labels"][j] = rasterize_frame_labels(
+                np.array(lab), onoff, use_ctc=False, total_frames=1500)
+        return {k: jnp.asarray(v[None]) for k, v in b.items()}
+
+    key = jax.random.PRNGKey(1)
+    first_loss = None
+    for step in range(200):
+        idx = list(rng.choice(len(clips), size=2, replace=False))
+        state, losses = step_fn(state, make_batch(idx), key)
+        if first_loss is None:
+            first_loss = float(losses["align_ce"])
+    assert float(losses["align_ce"]) < first_loss * 0.2
+
+    total = 0.0
+    for a, lab, onoff in clips:
+        audio = np.zeros((1, 480000), np.float32)
+        audio[0, : len(a)] = a
+        logits, _ = forward_from_audio(state.params, mcfg, jnp.asarray(audio),
+                                       trim_to_input_length=False)
+        L = len(lab)
+        labels = np.zeros((1, 8), np.int32)
+        labels[0, :L] = lab
+        on, off = viterbi_align(logits, jnp.asarray(labels),
+                                jnp.asarray([L], jnp.int32),
+                                jnp.asarray([400], jnp.int32), mode="ce")
+        sec = np.asarray(frames_to_seconds(on, off))[0, :L]
+        total += mae([onoff], [sec.tolist()])
+    avg = total / len(clips)
+    assert avg < 0.08, f"alignment did not converge: MAE={avg:.3f}s"
