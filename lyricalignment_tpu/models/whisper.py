@@ -212,6 +212,14 @@ def _attention(
         k = _split_heads(_linear(p["k"], src), n_head)
         v = _split_heads(_linear(p["v"], src), n_head)
 
+    if mask is None and xa is None and kv_override is None:
+        # encoder self-attention: flash kernel on TPU (einsum materialises
+        # [B, H, T, T] in HBM — the dominant cost at T=1500)
+        from lyricalignment_tpu.ops.attention import self_attention
+
+        out = self_attention(q, k * scale, v, sm_scale=1.0)
+        return _linear(p["out"], out.reshape(x.shape[0], x.shape[1], d))
+
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k * scale)
     if mask is not None:
         logits = logits + mask
