@@ -92,6 +92,11 @@ def parse_args():
     p.add_argument("--profile-at-step", type=int, default=0,
                    help="capture a device profile (save-dir/profile) around "
                         "this train step (0 = off)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir (e.g. result/last_model) to resume "
+                        "params+optimizer+step from; the LR schedule "
+                        "continues where it left off (the reference restarts "
+                        "it — SURVEY.md §5)")
     add_asset_args(p)
     return p.parse_args()
 
@@ -157,6 +162,20 @@ def main():
         print(f"mesh: {dict(mesh.shape)}")
 
     state, tx = init_train_state(params, tcfg)
+    start_step = 0
+    if args.resume:
+        from lyricalignment_tpu.train.checkpoints import restore_pytree
+        from lyricalignment_tpu.train.trainer import TrainState
+        import jax.numpy as jnp
+
+        # template restore keeps the optimizer-state NamedTuple structure
+        template = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
+        tree = restore_pytree(args.resume, template)
+        state = TrainState(params=tree["params"], opt_state=tree["opt_state"],
+                           step=jnp.asarray(tree["step"], jnp.int32))
+        start_step = int(tree["step"])
+        print(f"resumed from {args.resume} at step {start_step}")
     train_step = make_train_step(mcfg, tcfg, tx)
     eval_step = make_eval_step(mcfg, tcfg)
 
@@ -180,7 +199,7 @@ def main():
     t_start = time.time()
     profiling = None
 
-    for step in range(1, args.train_steps + 1):
+    for step in range(start_step + 1, args.train_steps + 1):
         if args.profile_at_step and step == args.profile_at_step:
             profiling = profile_session(os.path.join(args.save_dir, "profile"))
             profiling.__enter__()
