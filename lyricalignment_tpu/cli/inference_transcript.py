@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("-o", "--output", type=str, default="output/result.json")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=224)
+    p.add_argument("--temperature-fallback", action="store_true",
+                   help="whisper-style quality gates: retry degenerate "
+                        "segments with sampling at rising temperatures, "
+                        "silence high-no-speech segments")
     p.add_argument("--language", type=str, default="zh")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--seed", type=int, default=114514)
@@ -80,6 +84,16 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
         audio = np.stack([w[2] for w in chunk])
         xa = encode(params, jnp.asarray(audio))
         prompt = jnp.asarray(np.tile(prompt_ids, (len(chunk), 1)).astype(np.int32))
+        if args.temperature_fallback:
+            from lyricalignment_tpu.decode.transcribe import decode_with_fallback
+
+            entries = decode_with_fallback(
+                params, wcfg, xa, prompt, whisper_tok,
+                beam_size=args.beam_size, max_new_tokens=args.max_new_tokens,
+            )
+            for (ri, w, _), entry in zip(chunk, entries):
+                texts.setdefault(ri, {})[w] = entry["text"]
+            continue
         if args.beam_size > 1:
             tokens, _ = beam_search(
                 params, wcfg, xa, prompt, beam_size=args.beam_size,
