@@ -59,7 +59,10 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
     30 s windows decoded independently (batched together) and the window
     texts concatenated — the TPU-shaped counterpart of whisper's sequential
     long-form seek loop."""
+    from lyricalignment_tpu.text.whisper_tokenizer import non_speech_token_ids
+
     prompt_ids = list(whisper_tok.sot_sequence) + [whisper_tok.no_timestamps]
+    suppress_ids = tuple(non_speech_token_ids(whisper_tok))
 
     @jax.jit
     def encode(params, audio):
@@ -98,11 +101,13 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
             tokens, _ = beam_search(
                 params, wcfg, xa, prompt, beam_size=args.beam_size,
                 max_new_tokens=args.max_new_tokens, eot=whisper_tok.eot,
+                suppress_ids=suppress_ids,
             )
         else:
             tokens = greedy_decode(
                 params, wcfg, xa, prompt,
                 max_new_tokens=args.max_new_tokens, eot=whisper_tok.eot,
+                suppress_ids=suppress_ids,
             )
         tokens = np.asarray(tokens)
         for (ri, w, _), row_tokens in zip(chunk, tokens):

@@ -5,8 +5,8 @@ beam_size=5)`` decode loop (`inference_transcript.py:88-91`), which crosses
 host<->device every token. Here the whole decode runs inside one
 ``lax.while_loop`` with a static-shape KV cache (``models.whisper
 .decode_step``): beams live as an extra batch dimension, cache rows are
-re-gathered on device after每 top-k, and the loop exits early once every
-beam has emitted <|endoftext|>.
+re-gathered on device after each top-k, and the loop exits early once
+every beam has emitted <|endoftext|>.
 
 Scoring follows whisper's MaximumLikelihoodRanker with default
 length_penalty=None: finished candidates are ranked by
@@ -30,16 +30,21 @@ from lyricalignment_tpu.models.whisper import (
 NEG_INF = -1.0e30
 
 
-def _suppress_mask(cfg: WhisperConfig, eot: int, n_special_start: int) -> jnp.ndarray:
+def _suppress_mask(cfg: WhisperConfig, eot: int, n_special_start: int,
+                   extra_ids: tuple = ()) -> jnp.ndarray:
     """Additive mask suppressing every special token except <|endoftext|>.
 
     ``n_special_start`` is the first special id (= eot); everything from
     there on (sot, languages, task, timestamps) is disallowed during
-    no-timestamp text generation, except eot itself.
+    no-timestamp text generation, except eot itself. ``extra_ids`` adds
+    whisper's non-speech symbol suppressions
+    (``text.whisper_tokenizer.non_speech_token_ids``).
     """
     mask = jnp.zeros((cfg.n_vocab,), jnp.float32)
     ids = jnp.arange(cfg.n_vocab)
     mask = jnp.where(ids >= n_special_start, NEG_INF, mask)
+    for i in extra_ids:
+        mask = mask.at[int(i)].set(NEG_INF)
     mask = mask.at[eot].set(0.0)
     return mask
 
@@ -53,7 +58,7 @@ def _prime_cache(params, cfg, prompt, cache):
     return logits, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eot"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eot", "suppress_ids"))
 def greedy_decode(
     params: Dict,
     cfg: WhisperConfig,
@@ -61,13 +66,14 @@ def greedy_decode(
     prompt: jnp.ndarray,           # i32[B, P] (sot sequence)
     max_new_tokens: int = 224,
     eot: int = 50257,
+    suppress_ids: tuple = (),
 ) -> jnp.ndarray:
     """Returns i32[B, max_new_tokens], eot-padded after completion."""
     b = audio_features.shape[0]
     max_len = prompt.shape[1] + max_new_tokens
     cache = init_decode_cache(params, cfg, audio_features, max_len)
     logits, cache = _prime_cache(params, cfg, prompt, cache)
-    suppress = _suppress_mask(cfg, eot, eot)
+    suppress = _suppress_mask(cfg, eot, eot, suppress_ids)
 
     def cond(state):
         i, _, _, done, _ = state
@@ -101,7 +107,7 @@ def _gather_cache(cache: Dict, idx: jnp.ndarray) -> Dict:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "beam_size", "max_new_tokens", "eot")
+    jax.jit, static_argnames=("cfg", "beam_size", "max_new_tokens", "eot", "suppress_ids")
 )
 def beam_search(
     params: Dict,
@@ -111,6 +117,7 @@ def beam_search(
     beam_size: int = 5,
     max_new_tokens: int = 224,
     eot: int = 50257,
+    suppress_ids: tuple = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched beam search.
 
@@ -126,7 +133,7 @@ def beam_search(
     max_len = prompt.shape[1] + max_new_tokens
     cache = init_decode_cache(params, cfg, xa, max_len)
     logits, cache = _prime_cache(params, cfg, prompt_k, cache)
-    suppress = _suppress_mask(cfg, eot, eot)
+    suppress = _suppress_mask(cfg, eot, eot, suppress_ids)
 
     logp0 = jax.nn.log_softmax(logits + suppress[None, :], axis=-1)  # [B*k, V]
     # first expansion: take top-k from beam 0 only (all beams identical now)

@@ -163,3 +163,33 @@ def _load_tiktoken_encoding(path: str, special_tokens: Dict[str, int], n_text: i
         mergeable_ranks=ranks,
         special_tokens=specials,
     )
+
+
+# whisper's non-speech symbol list (tokenizer.non_speech_tokens): tokens that
+# never occur in real transcripts — music/markup symbols suppressed during
+# decoding unless sampling demands otherwise.
+_NON_SPEECH_SYMBOLS = (
+    '"', "#", "(", ")", "*", "+", "/", ":", ";", "<", "=", ">", "@", "[",
+    "\\", "]", "^", "_", "`", "{", "|", "}", "~", "「", "」", "『", "』",
+    "<<", ">>", "<<<", ">>>", "--", "---", "-(", "-[", "('", '("', "((",
+    "))", "(((", ")))", "[[", "]]", "{{", "}}", "♪♪", "♪♪♪", "♩", "♪",
+    "♫", "♬", "♭", "♮", "♯",
+)
+
+
+def non_speech_token_ids(tokenizer: "WhisperTokenizer") -> list:
+    """Ids of whisper's suppressed non-speech symbols (needs BPE ranks).
+
+    Mirrors ``whisper.tokenizer.Tokenizer.non_speech_tokens``: for each
+    symbol, the id of the symbol itself and of " symbol", kept only when
+    the symbol encodes to a single token.
+    """
+    if not tokenizer.has_bpe:
+        return []
+    ids = set()
+    for sym in _NON_SPEECH_SYMBOLS:
+        for variant in (sym, " " + sym):
+            toks = tokenizer.encode(variant)
+            if len(toks) == 1:
+                ids.add(toks[0])
+    return sorted(ids)
