@@ -83,6 +83,11 @@ def parse_args():
     p.add_argument("--mesh-model", type=int, default=1)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--bf16-grad-accum", action="store_true",
+                   help="accumulate micro-batch grads in bf16 (fits medium "
+                        "multitask + AdamW on one 16G chip)")
+    p.add_argument("--bf16-adam-mu", action="store_true",
+                   help="store Adam first moment in bf16")
     p.add_argument("--max-label-len", type=int, default=128)
     p.add_argument("--max-decoder-len", type=int, default=160)
     p.add_argument("--log-every", type=int, default=1,
@@ -136,6 +141,10 @@ def main():
         accum_grad_steps=args.accum_grad_steps,
         use_ctc=args.use_ctc_loss, vocab_size=len(bert),
         remat=args.remat, seed=args.seed,
+        grad_accum_dtype=(__import__("jax.numpy", fromlist=["bfloat16"]).bfloat16
+                          if args.bf16_grad_accum else None),
+        adam_mu_dtype=(__import__("jax.numpy", fromlist=["bfloat16"]).bfloat16
+                       if args.bf16_adam_mu else None),
     )
 
     pcfg_train = PipelineConfig(

@@ -47,16 +47,16 @@ def make_optimizer(
     warmup_steps: int = 200,
     total_steps: int = 2000,
     max_grad_norm: float = 1.0,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     head_sched = linear_warmup_decay(head_lr, warmup_steps, total_steps)
     backbone_sched = linear_warmup_decay(backbone_lr, warmup_steps, total_steps)
+    adamw = lambda sched: optax.adamw(sched, weight_decay=weight_decay,
+                                      mu_dtype=mu_dtype)
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.multi_transform(
-            {
-                "head": optax.adamw(head_sched, weight_decay=weight_decay),
-                "backbone": optax.adamw(backbone_sched, weight_decay=weight_decay),
-            },
+            {"head": adamw(head_sched), "backbone": adamw(backbone_sched)},
             param_group_labels(params),
         ),
     )

@@ -52,6 +52,11 @@ class TrainConfig:
     vocab_size: int = 21128          # BERT vocab; silence channel sits at this index
     remat: bool = False
     seed: int = 114514
+    # memory knobs: whisper-medium + AdamW + f32 grad accumulation is ~71MB
+    # over a 16G v5e HBM; bf16 accumulation (grads are averaged over 8
+    # micro-steps anyway) and/or bf16 Adam mu buy back ~3GB
+    grad_accum_dtype: Any = None     # None = f32; jnp.bfloat16 to halve accum
+    adam_mu_dtype: Any = None        # None = f32; jnp.bfloat16 halves mu
 
 
 @jax.tree_util.register_dataclass
@@ -71,6 +76,7 @@ def init_train_state(params: Dict, tcfg: TrainConfig) -> Tuple[TrainState, optax
         warmup_steps=tcfg.warmup_steps,
         total_steps=tcfg.total_steps,
         max_grad_norm=tcfg.max_grad_norm,
+        mu_dtype=tcfg.adam_mu_dtype,
     )
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)), tx
 
@@ -147,19 +153,23 @@ def make_train_step(
                 lambda p: multitask_losses(p, mcfg, tcfg, micro_batch, key),
                 has_aux=True,
             )(state.params)
-            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            grad_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(a.dtype), grad_acc, grads)
             loss_acc = jax.tree_util.tree_map(jnp.add, loss_acc, losses)
             return (grad_acc, loss_acc), None
 
-        zeros_like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
-        grad0 = zeros_like(state.params)
+        acc_dtype = tcfg.grad_accum_dtype
+        def acc_zero(x):
+            return jnp.zeros(x.shape, acc_dtype or x.dtype)
+        grad0 = jax.tree_util.tree_map(acc_zero, state.params)
         loss0 = {k: jnp.zeros((), jnp.float32)
                  for k in ("total", "align_ce", "align_ctc", "trans_ce", "trans_ctc")}
         keys = jax.random.split(jax.random.fold_in(rng, state.step), tcfg.accum_grad_steps)
 
         (grads, losses), _ = jax.lax.scan(micro, (grad0, loss0), (stacked, keys))
         # mean over micro-steps: the reference backprops loss/accum per micro
-        grads = jax.tree_util.tree_map(lambda g: g / tcfg.accum_grad_steps, grads)
+        grads = jax.tree_util.tree_map(
+            lambda g: (g / tcfg.accum_grad_steps).astype(jnp.float32), grads)
         losses = {k: v / tcfg.accum_grad_steps for k, v in losses.items()}
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
