@@ -1,0 +1,114 @@
+"""High-level library API: one object, three verbs.
+
+The reference only exposes CLIs; this is the programmatic surface a user
+embeds in a service:
+
+    from lyricalignment_tpu.api import LyricAligner
+
+    aligner = LyricAligner.from_model_dir("result", bert_vocab="vocab.txt",
+                                          use_ctc=True)
+    segments = aligner.align("song.wav", "你好世界")   # [[on, off, char], ...]
+    text = aligner.transcribe("song.wav", whisper_bpe="multilingual.tiktoken")
+    error = aligner.mae("song.wav", "你好世界", ground_truth_onoff)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from lyricalignment_tpu.utils.metrics import mae as mae_metric
+
+
+class LyricAligner:
+    def __init__(self, mcfg, params, bert_tokenizer, table, use_ctc: bool = False,
+                 bucket_seconds: float = 5.0, max_label_len: int = 128):
+        self.mcfg = mcfg
+        self.params = params
+        self.bert = bert_tokenizer
+        self.table = table
+        self.use_ctc = use_ctc
+        self.bucket_seconds = bucket_seconds
+        self.max_label_len = max_label_len
+
+    @classmethod
+    def from_model_dir(
+        cls,
+        model_dir: str,
+        model_name: str = "best",
+        bert_vocab: Optional[str] = None,
+        synthetic_vocab: bool = False,
+        use_ctc: bool = False,
+        bf16: bool = False,
+        **kwargs,
+    ) -> "LyricAligner":
+        from lyricalignment_tpu.cli.common import load_model_dir
+        from lyricalignment_tpu.text.bert_tokenizer import (
+            BertWordPieceTokenizer,
+            make_synthetic_vocab,
+        )
+        from lyricalignment_tpu.text.pinyin import load_pronunciation_table
+
+        mcfg, params, _ = load_model_dir(model_dir, model_name, use_bf16=bf16)
+        if bert_vocab:
+            bert = BertWordPieceTokenizer(vocab_path=bert_vocab)
+        elif synthetic_vocab:
+            bert = BertWordPieceTokenizer(vocab=make_synthetic_vocab(size=21128))
+        else:
+            raise ValueError("pass bert_vocab= (vocab.txt) or synthetic_vocab=True")
+        return cls(mcfg, params, bert, load_pronunciation_table(),
+                   use_ctc=use_ctc, **kwargs)
+
+    def _cli_args(self):
+        from types import SimpleNamespace
+
+        return SimpleNamespace(
+            use_ctc_loss=self.use_ctc,
+            is_mixture=0,
+            bucket_seconds=self.bucket_seconds,
+            max_label_len=self.max_label_len,
+        )
+
+    def align(self, audio_path: str, lyric: str) -> List[list]:
+        """Forced-align one song: [[onset_s, offset_s, char], ...]."""
+        from lyricalignment_tpu.cli.inference_alignment import align_records
+        from lyricalignment_tpu.data.records import Record
+
+        record = Record(audio_path=audio_path, text=lyric)
+        (_, segments), = align_records(
+            [record], self.params, self.mcfg, self.table, self.bert, self._cli_args())
+        return [[on, off, ch] for (on, off), ch in zip(segments, lyric)]
+
+    def mae(self, audio_path: str, lyric: str,
+            ground_truth: Sequence[Sequence[float]]) -> float:
+        segments = self.align(audio_path, lyric)
+        return float(mae_metric([list(ground_truth)],
+                                [[[s[0], s[1]] for s in segments]]))
+
+    def transcribe(
+        self,
+        audio_path: str,
+        whisper_bpe: Optional[str] = None,
+        beam_size: int = 5,
+        max_new_tokens: int = 224,
+        language: str = "zh",
+    ) -> str:
+        from lyricalignment_tpu.cli.inference_transcript import transcribe_records
+        from lyricalignment_tpu.data.records import Record
+        from lyricalignment_tpu.text.whisper_tokenizer import WhisperTokenizer
+
+        from types import SimpleNamespace
+
+        wt = WhisperTokenizer(multilingual=True, language=language,
+                              task="transcribe", bpe_path=whisper_bpe)
+        args = SimpleNamespace(
+            is_mixture=0, batch_size=4, beam_size=beam_size,
+            max_new_tokens=max_new_tokens, use_groundtruth=False,
+            temperature_fallback=False,
+        )
+        results = transcribe_records(
+            [Record(audio_path=audio_path, text="")],
+            self.params["whisper"], self.mcfg.whisper, wt, args)
+        return results[0]["inference"]

@@ -141,10 +141,8 @@ def main():
         accum_grad_steps=args.accum_grad_steps,
         use_ctc=args.use_ctc_loss, vocab_size=len(bert),
         remat=args.remat, seed=args.seed,
-        grad_accum_dtype=(__import__("jax.numpy", fromlist=["bfloat16"]).bfloat16
-                          if args.bf16_grad_accum else None),
-        adam_mu_dtype=(__import__("jax.numpy", fromlist=["bfloat16"]).bfloat16
-                       if args.bf16_adam_mu else None),
+        grad_accum_dtype=jax.numpy.bfloat16 if args.bf16_grad_accum else None,
+        adam_mu_dtype=jax.numpy.bfloat16 if args.bf16_adam_mu else None,
     )
 
     pcfg_train = PipelineConfig(

@@ -244,11 +244,17 @@ def encode_audio(
     cfg: WhisperConfig,
     mel: jnp.ndarray,
     remat: bool = False,
+    sequence_sharding=None,
 ) -> jnp.ndarray:
     """mel f32[B, n_mels, 3000] -> audio features [B, 1500, D].
 
     Equivalent of the reference's ``whisper_model.embed_audio``
     (`module/align_model.py:91,112`).
+
+    ``sequence_sharding``: optional ``NamedSharding`` (or PartitionSpec-
+    compatible) pinned onto the [B, T, D] activations after every block —
+    sequence/context parallelism via GSPMD: shard the 1500-frame axis over
+    a mesh axis and XLA inserts the K/V all-gathers for attention.
     """
     enc = params["encoder"]
     dtype = cfg.compute_dtype
@@ -272,8 +278,12 @@ def encode_audio(
     block_fn = _encoder_block
     if remat:
         block_fn = jax.checkpoint(_encoder_block, static_argnums=(2,))
+    if sequence_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, sequence_sharding)
     for block in enc["blocks"]:
         x = block_fn(block, x, cfg.n_audio_head)
+        if sequence_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, sequence_sharding)
 
     return _layer_norm(enc["ln_post"], x)
 

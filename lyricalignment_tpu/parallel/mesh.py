@@ -136,3 +136,11 @@ def shard_align_params(params: Dict, mesh: Mesh, tp: bool = True) -> Dict:
         place, params, specs,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def sequence_sharding(mesh: Mesh) -> NamedSharding:
+    """Activation sharding for sequence/context parallelism: [B, T, D]
+    activations split batch-over-data and frames-over-model. Pass to
+    ``models.whisper.encode_audio(sequence_sharding=...)``; XLA inserts the
+    attention K/V all-gathers over ICI."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))

@@ -144,3 +144,20 @@ def test_tensor_parallel_matches_single_device(mcfg, tcfg, rng):
     sharded_batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
     tp = eval_fn(sharded_params, sharded_batch)
     assert float(tp["total"]) == pytest.approx(float(single["total"]), rel=1e-3)
+
+
+def test_sequence_parallel_encoder_matches_single_device(mcfg, rng):
+    from lyricalignment_tpu.models.whisper import encode_audio
+    from lyricalignment_tpu.parallel.mesh import sequence_sharding
+
+    params = init_align_model(jax.random.PRNGKey(0), mcfg)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 3000)).astype(np.float32))
+    base = np.asarray(encode_audio(params["whisper"], mcfg.whisper, mel))
+
+    mesh = make_mesh(data=2, model=4)
+    seq_sh = sequence_sharding(mesh)
+    sharded_params = shard_align_params(params, mesh, tp=False)
+    sp = jax.jit(lambda p, m: encode_audio(p, mcfg.whisper, m,
+                                           sequence_sharding=seq_sh))
+    got = np.asarray(sp(sharded_params["whisper"], mel))
+    np.testing.assert_allclose(got, base, atol=2e-4, rtol=1e-4)
