@@ -61,39 +61,63 @@ def bucket_samples(n_samples: int, bucket_seconds: float) -> int:
 
 
 def align_records(records, params, mcfg, table, bert, args):
-    """Yield (record, [[on, off], ...]) for records that have audio."""
+    """Yield (record, [[on, off], ...]) in input order.
+
+    Records are grouped by length bucket (one jit compile per bucket) and
+    processed ``batch_size`` at a time within a bucket — the reference
+    aligns one record per step (`inference_alignment.py:145-166`); here a
+    whole batch shares one device round-trip.
+    """
+    from lyricalignment_tpu.data.audio_io import audio_num_samples_16k
+
     mode = "ctc" if args.use_ctc_loss else "ce"
+    batch_size = max(1, getattr(args, "batch_size", 1))
 
     @jax.jit
     def forward(params, audio):
         logits, _ = forward_from_audio(params, mcfg, audio, trim_to_input_length=True)
         return logits
 
-    for record in records:
-        audio = load_audio_file(record.audio_path, args.is_mixture)["speech"]
-        padded_len = bucket_samples(len(audio), args.bucket_seconds)
-        a = np.zeros((1, padded_len), np.float32)
-        a[0, : min(len(audio), padded_len)] = audio[:padded_len]
+    # group indices by bucketed length (header-only peek, no decode)
+    buckets = {}
+    for i, r in enumerate(records):
+        n = audio_num_samples_16k(r.audio_path)
+        buckets.setdefault(bucket_samples(n, args.bucket_seconds), []).append(i)
 
-        logits = forward(params, jnp.asarray(a))
+    results = {}
+    for padded_len in sorted(buckets):
+        idxs = buckets[padded_len]
+        for start in range(0, len(idxs), batch_size):
+            group = idxs[start: start + batch_size]
+            B = len(group)
+            a = np.zeros((B, padded_len), np.float32)
+            labels = np.zeros((B, args.max_label_len), np.int32)
+            lens = np.zeros((B,), np.int32)
+            frames = np.zeros((B,), np.int32)
+            for j, i in enumerate(group):
+                audio = load_audio_file(records[i].audio_path, args.is_mixture)["speech"]
+                n = min(len(audio), padded_len)
+                a[j, :n] = audio[:n]
+                classes = table.map_tokens(np.asarray(
+                    bert.encode(records[i].text, add_special_tokens=False), np.int32))
+                L = min(len(classes), args.max_label_len)
+                labels[j, :L] = classes[:L]
+                lens[j] = L
+                frames[j] = int(round((n // HOP_LENGTH) / 2.0))
 
-        ids = np.asarray(bert.encode(record.text, add_special_tokens=False), np.int32)
-        classes = table.map_tokens(ids)
-        L = min(len(classes), args.max_label_len)
-        labels = np.full((1, args.max_label_len), 0, np.int32)
-        labels[0, :L] = classes[:L]
+            logits = forward(params, jnp.asarray(a))
+            frames = np.minimum(frames, logits.shape[1])
+            on, off = viterbi_align(
+                logits, jnp.asarray(labels), jnp.asarray(lens),
+                jnp.asarray(frames), mode=mode,
+            )
+            sec = np.asarray(frames_to_seconds(on, off))
+            for j, i in enumerate(group):
+                L = int(lens[j])
+                results[i] = [[float(s), float(e)] for s, e in sec[j, :L]]
 
-        mel_len = min(len(audio), padded_len) // HOP_LENGTH
-        true_frames = min(int(round(mel_len / 2.0)), logits.shape[1])
-
-        on, off = viterbi_align(
-            logits, jnp.asarray(labels),
-            jnp.asarray([L], jnp.int32),
-            jnp.asarray([true_frames], jnp.int32),
-            mode=mode,
-        )
-        sec = np.asarray(frames_to_seconds(on, off))[0, :L]
-        yield record, [[float(s), float(e)] for s, e in sec]
+    for i, record in enumerate(records):
+        yield record, results[i]
 
 
 def main():

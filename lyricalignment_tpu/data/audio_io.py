@@ -105,3 +105,14 @@ def write_wav(path: str, audio: np.ndarray, sr: int = TARGET_SR) -> None:
         w.setsampwidth(2)
         w.setframerate(sr)
         w.writeframes(interleaved)
+
+
+def audio_num_samples_16k(path: str) -> int:
+    """Length (in 16 kHz samples) an audio file will have after loading,
+    from the header alone — lets loaders bucket by length without decoding."""
+    with wave.open(path, "rb") as w:
+        frames = w.getnframes()
+        sr = w.getframerate()
+    if sr == TARGET_SR:
+        return frames
+    return -(-frames * TARGET_SR // sr)
