@@ -14,10 +14,8 @@ embeds in a service:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional, Sequence
 
-import numpy as np
 
 from lyricalignment_tpu.utils.metrics import mae as mae_metric
 

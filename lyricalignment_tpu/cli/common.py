@@ -12,17 +12,16 @@ import argparse
 import dataclasses
 import os
 import random
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
 from lyricalignment_tpu.models.align_model import AlignModelConfig, init_align_model
-from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS, WhisperConfig
+from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS
 from lyricalignment_tpu.text.bert_tokenizer import (
     BertWordPieceTokenizer,
     make_synthetic_vocab,
 )
-from lyricalignment_tpu.text.pinyin import load_pronunciation_table
 from lyricalignment_tpu.text.whisper_tokenizer import WhisperTokenizer
 from lyricalignment_tpu.train.checkpoints import load_json, restore_pytree
 

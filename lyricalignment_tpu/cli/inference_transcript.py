@@ -24,11 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from lyricalignment_tpu import N_FRAMES, N_SAMPLES
-from lyricalignment_tpu.cli.common import add_asset_args, build_tokenizers, load_model_dir, set_seed
+from lyricalignment_tpu.cli.common import add_asset_args, load_model_dir, set_seed
 from lyricalignment_tpu.data.audio_io import load_audio_file
 from lyricalignment_tpu.data.records import read_data
 from lyricalignment_tpu.decode.beam import beam_search, greedy_decode
-from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS, encode_audio
+from lyricalignment_tpu.models.whisper import encode_audio
 from lyricalignment_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
 
 

@@ -22,7 +22,6 @@ import os
 import time
 
 import jax
-import numpy as np
 
 from lyricalignment_tpu.cli.common import (
     add_asset_args,
@@ -38,7 +37,7 @@ from lyricalignment_tpu.data.pipeline import (
     infinite_batches,
 )
 from lyricalignment_tpu.data.records import read_many
-from lyricalignment_tpu.parallel.mesh import batch_sharding, make_mesh, shard_align_params
+from lyricalignment_tpu.parallel.mesh import make_mesh, shard_align_params
 from lyricalignment_tpu.text.pinyin import load_pronunciation_table
 from lyricalignment_tpu.train.checkpoints import (
     BestCheckpointPolicy,

@@ -27,8 +27,6 @@ labels to pinyin classes.
 
 from __future__ import annotations
 
-import dataclasses
-import threading
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence
 

@@ -16,7 +16,7 @@ length_penalty=None: finished candidates are ranked by
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,12 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lyricalignment_tpu.decode.beam import (
-    _prime_cache,
-    _suppress_mask,
-    beam_search,
-    greedy_decode,
-)
+from lyricalignment_tpu.decode.beam import _prime_cache, _suppress_mask, beam_search
 from lyricalignment_tpu.models.whisper import WhisperConfig, decode_step, init_decode_cache
 
 COMPRESSION_RATIO_THRESHOLD = 2.4

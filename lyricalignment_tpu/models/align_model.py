@@ -17,13 +17,13 @@ trace-time constant (the data pipeline buckets lengths).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from lyricalignment_tpu import EMBED_FRAMES, N_FRAMES, N_SAMPLES
+from lyricalignment_tpu import EMBED_FRAMES, N_FRAMES
 from lyricalignment_tpu.models.align_head import align_head_apply, init_align_head
 from lyricalignment_tpu.models.whisper import (
     WhisperConfig,

@@ -14,8 +14,6 @@ einsum path's f32-softmax to bf16 rounding.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -11,7 +11,6 @@ drop straight in (transposed to [in, 3H]).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional
 
 import jax

@@ -16,13 +16,11 @@ generic FFT lowering for Whisper's tiny n_fft. Everything is static-shape.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lyricalignment_tpu import HOP_LENGTH, N_FFT, N_MELS, N_SAMPLES, SAMPLE_RATE
+from lyricalignment_tpu import HOP_LENGTH, N_FFT, N_MELS, SAMPLE_RATE
 
 # ---------------------------------------------------------------------------
 # Mel filterbank (Slaney scale + Slaney area normalization, librosa-default,

@@ -18,9 +18,8 @@ pre-tokenized data); ``encode``/``decode`` raise a clear error.
 from __future__ import annotations
 
 import base64
-import functools
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 # Whisper's 99 languages in canonical order (token id = sot + 1 + index).
 LANGUAGES = (

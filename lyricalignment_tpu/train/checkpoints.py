@@ -17,7 +17,6 @@ import json
 import os
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

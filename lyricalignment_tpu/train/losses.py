@@ -13,8 +13,6 @@ ignore-convention is handled with masks instead of dynamic filtering.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

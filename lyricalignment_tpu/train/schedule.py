@@ -11,7 +11,7 @@ then linear decay to 0 at ``total_steps``.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Dict
 
 import jax
 import optax
