@@ -24,15 +24,10 @@ def masked_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Mean cross-entropy over positions where label != -100
     (torch ``F.cross_entropy`` ignore_index semantics).
 
-    logits f32[..., C], labels i32[...].
+    logits f32[B, ..., C], labels i32[B, ...].
     """
-    valid = labels != IGNORE_ID
-    safe = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    total = jnp.sum(jnp.where(valid, nll, 0.0))
-    count = jnp.maximum(jnp.sum(valid), 1)
-    return total / count
+    all_samples = jnp.ones((logits.shape[0],), bool)
+    return masked_ce_grouped(logits, labels, all_samples)
 
 
 def _reconcile_label_length(frame_labels: jnp.ndarray, t: int) -> jnp.ndarray:
@@ -65,19 +60,11 @@ def frame_ce_loss(
     """
     frame_labels = _reconcile_label_length(frame_labels, logits.shape[1])
 
-    if not with_silence_head:
-        return masked_ce(logits, frame_labels)
-
-    valid = frame_labels != IGNORE_ID
-    shifted = jnp.where(valid, frame_labels - 1, IGNORE_ID)
-    word_loss = masked_ce(logits[:, :, 1:vocab_size], shifted)
-
-    silence_label = jnp.where(valid, 0.0, 1.0)
-    sil_logit = logits[:, :, vocab_size]
-    silence_loss = jnp.mean(
-        optax.sigmoid_binary_cross_entropy(sil_logit, silence_label)
+    all_samples = jnp.ones((logits.shape[0],), bool)
+    return frame_ce_loss_grouped(
+        logits, frame_labels, all_samples,
+        with_silence_head=with_silence_head, vocab_size=vocab_size,
     )
-    return word_loss + silence_loss
 
 
 def ctc_loss(
@@ -87,13 +74,8 @@ def ctc_loss(
     """CTC loss with torch ``F.ctc_loss`` mean semantics: per-sample NLL
     divided by its target length, averaged over the batch. Full input
     lengths (the reference passes no logit paddings)."""
-    b, t, _ = logits.shape
-    label_padding = (labels == IGNORE_ID).astype(jnp.float32)
-    safe_labels = jnp.where(labels == IGNORE_ID, 0, labels)
-    logit_padding = jnp.zeros((b, t), jnp.float32)
-    per_example = optax.ctc_loss(logits, logit_padding, safe_labels, label_padding, blank_id=0)
-    target_len = jnp.maximum(jnp.sum(labels != IGNORE_ID, axis=1), 1)
-    return jnp.mean(per_example / target_len)
+    all_samples = jnp.ones((logits.shape[0],), bool)
+    return ctc_loss_grouped(logits, labels, all_samples)
 
 
 def transcript_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
