@@ -13,7 +13,8 @@ BASELINE.json (the reference publishes no speed numbers — SURVEY.md §6).
 
 Env knobs: BENCH_MODEL (tiny|base|small|medium, default medium),
 BENCH_BATCH (default 8), BENCH_ITERS (default 8), BENCH_SECONDS (clip
-length, default 30).
+length, default 30), BENCH_MODE (align | transcribe; transcribe measures
+batched beam-search decoding in audio-sec/sec/chip at beam 5, 64 tokens).
 """
 
 import dataclasses
@@ -62,6 +63,38 @@ def main():
     audio = jnp.asarray(rng.standard_normal((batch, n_samples)).astype(np.float32) * 0.1)
     labels = jnp.asarray(rng.integers(2, 400, (batch, max_labels)).astype(np.int32))
     num_labels = jnp.asarray(np.full((batch,), max_labels, np.int32))
+
+    if os.environ.get("BENCH_MODE", "align") == "transcribe":
+        from lyricalignment_tpu.decode.beam import beam_search
+        from lyricalignment_tpu.text.whisper_tokenizer import WhisperTokenizer
+
+        wt = WhisperTokenizer()
+        prompt = jnp.asarray(np.tile(
+            list(wt.sot_sequence) + [wt.no_timestamps], (batch, 1)).astype(np.int32))
+
+        @jax.jit
+        def transcribe_batch(params, audio):
+            mel = pad_or_trim(log_mel(audio), N_FRAMES)
+            xa = encode_audio(params["whisper"], mcfg.whisper, mel)
+            toks, _ = beam_search(params["whisper"], mcfg.whisper, xa, prompt,
+                                  beam_size=5, max_new_tokens=64, eot=wt.eot)
+            return toks
+
+        np.asarray(transcribe_batch(params, audio))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = transcribe_batch(params, audio)
+        _ = np.asarray(out[0, 0])
+        elapsed = time.perf_counter() - t0
+        value = iters * batch * clip_seconds / elapsed / jax.device_count()
+        print(json.dumps({
+            "metric": f"transcription_throughput_{model_name}_beam5",
+            "value": round(value, 2),
+            "unit": "audio_sec_per_sec_per_chip",
+            "vs_baseline": round(value / BASELINE_RTF, 3),
+        }))
+        return
 
     # warmup / compile; fetch to host — under the axon relay
     # block_until_ready() returns before remote completion, so a host

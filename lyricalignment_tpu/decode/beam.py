@@ -97,11 +97,17 @@ def greedy_decode(
 
 
 def _gather_cache(cache: Dict, idx: jnp.ndarray) -> Dict:
-    """Re-select beam rows of the KV cache (idx i32[B*beam])."""
+    """Re-select beam rows of the self-attention KV cache (idx i32[B*beam]).
+
+    Cross-attention K/V are deliberately NOT gathered: beam selection only
+    permutes rows within a sample, and every beam of a sample shares the
+    same audio features — gathering them would move ~GBs of invariant data
+    per step at whisper-medium."""
     return {
         "pos": cache["pos"],
         "blocks": [
-            {k: v[idx] for k, v in blk.items()} for blk in cache["blocks"]
+            {k: (v if k.startswith("cross_") else v[idx]) for k, v in blk.items()}
+            for blk in cache["blocks"]
         ],
     }
 
