@@ -1,0 +1,65 @@
+"""High-level API test: model dir -> LyricAligner -> alignment."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from lyricalignment_tpu.api import LyricAligner
+from lyricalignment_tpu.data.audio_io import write_wav
+from lyricalignment_tpu.models.align_model import AlignModelConfig, init_align_model
+from lyricalignment_tpu.models.whisper import WhisperConfig
+from lyricalignment_tpu.train.checkpoints import save_json, save_pytree
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("model")
+    # micro model in the on-disk format the train CLI produces
+    mcfg = AlignModelConfig(
+        whisper=WhisperConfig(n_audio_state=384, n_audio_head=6, n_audio_layer=1,
+                              n_text_state=384, n_text_head=6, n_text_layer=1),
+        hidden_dim=8, output_dim=21129,
+    )
+    params = init_align_model(jax.random.PRNGKey(0), mcfg)
+    save_json(str(d / "args.json"), {"whisper_model": "tiny", "use_ctc_loss": True})
+    save_json(str(d / "model_args.json"), {
+        "embed_dim": 384, "hidden_dim": 384, "output_dim": 21129,
+        "bidirectional": True, "freeze_encoder": False,
+        "train_alignment": True, "train_transcript": False,
+    })
+    # note: tiny config is 4 layers; our params are 1-layer — so save params
+    # for the real tiny shape instead
+    tiny_cfg = AlignModelConfig(
+        whisper=WhisperConfig(n_audio_state=384, n_audio_head=6, n_audio_layer=4,
+                              n_text_state=384, n_text_head=6, n_text_layer=4),
+        hidden_dim=384, output_dim=21129,
+    )
+    params = init_align_model(jax.random.PRNGKey(0), tiny_cfg)
+    save_pytree(str(d / "best_model"), {"params": params, "step": 0})
+    return str(d)
+
+
+def test_aligner_from_model_dir(model_dir, tmp_path):
+    wav = str(tmp_path / "x.wav")
+    rng = np.random.default_rng(0)
+    write_wav(wav, (rng.standard_normal(2 * 16000) * 0.1).astype(np.float32))
+
+    aligner = LyricAligner.from_model_dir(model_dir, synthetic_vocab=True,
+                                          use_ctc=True, bucket_seconds=2.0)
+    segments = aligner.align(wav, "你好")
+    assert len(segments) == 2
+    for on, off, ch in segments:
+        assert 0.0 <= on <= off <= 2.0
+    assert segments[0][2] == "你" and segments[1][2] == "好"
+    assert segments[0][1] <= segments[1][0] or segments[0][0] <= segments[1][0]
+
+    err = aligner.mae(wav, "你好", [[0.1, 0.5], [0.6, 1.0]])
+    assert np.isfinite(err) and err >= 0
+
+
+def test_aligner_requires_vocab(model_dir):
+    with pytest.raises(ValueError):
+        LyricAligner.from_model_dir(model_dir)
