@@ -13,8 +13,9 @@ BASELINE.json (the reference publishes no speed numbers — SURVEY.md §6).
 
 Env knobs: BENCH_MODEL (tiny|base|small|medium, default medium),
 BENCH_BATCH (default 8), BENCH_ITERS (default 8), BENCH_SECONDS (clip
-length, default 30), BENCH_MODE (align | transcribe; transcribe measures
-batched beam-search decoding in audio-sec/sec/chip at beam 5, 64 tokens).
+length, default 30), BENCH_MODE (align | transcribe | train; transcribe
+measures batched beam-5 decoding, train measures the full multitask update
+— both in audio-sec/sec/chip).
 """
 
 import dataclasses
@@ -63,6 +64,48 @@ def main():
     audio = jnp.asarray(rng.standard_normal((batch, n_samples)).astype(np.float32) * 0.1)
     labels = jnp.asarray(rng.integers(2, 400, (batch, max_labels)).astype(np.int32))
     num_labels = jnp.asarray(np.full((batch,), max_labels, np.int32))
+
+    if os.environ.get("BENCH_MODE", "align") == "train":
+        from lyricalignment_tpu.train.trainer import (
+            TrainConfig, init_train_state, make_train_step)
+
+        mcfg_t = dataclasses.replace(mcfg, train_transcript=True)
+        tcfg = TrainConfig(accum_grad_steps=8, use_ctc=True, vocab_size=21128,
+                           remat=True, grad_accum_dtype=jnp.bfloat16,
+                           adam_mu_dtype=jnp.bfloat16)
+        state, tx = init_train_state(params, tcfg)
+        step_fn = make_train_step(mcfg_t, tcfg, tx)
+        tb = 2  # reference recipe: batch 2 x accum 8
+        stacked = {
+            "audio": jnp.asarray(rng.standard_normal((8, tb, n_samples)).astype(np.float32) * 0.05),
+            "ctc_labels": jnp.asarray(np.pad(
+                rng.integers(2, 400, (8, tb, 24)).astype(np.int32),
+                ((0, 0), (0, 0), (0, 24)), constant_values=-100)),
+            "frame_labels": jnp.asarray(np.where(
+                rng.random((8, tb, 1500)) < 0.3,
+                rng.integers(2, 400, (8, tb, 1500)), -100).astype(np.int32)),
+            "label_lengths": jnp.asarray(np.full((8, tb), 24, np.int32)),
+            "has_alignment": jnp.asarray(np.ones((8, tb), bool)),
+            "decoder_input": jnp.asarray(rng.integers(0, 51865, (8, tb, 40)).astype(np.int32)),
+            "decoder_output": jnp.asarray(rng.integers(0, 51865, (8, tb, 40)).astype(np.int32)),
+        }
+        key = jax.random.PRNGKey(1)
+        state, losses = step_fn(state, stacked, key)
+        _ = float(losses["total"])
+        t0 = time.perf_counter()
+        for _ in range(max(iters // 2, 2)):
+            state, losses = step_fn(state, stacked, key)
+        _ = float(losses["total"])
+        elapsed = time.perf_counter() - t0
+        n_steps = max(iters // 2, 2)
+        value = n_steps * 8 * tb * clip_seconds / elapsed / jax.device_count()
+        print(json.dumps({
+            "metric": f"train_throughput_{model_name}",
+            "value": round(value, 2),
+            "unit": "audio_sec_per_sec_per_chip",
+            "vs_baseline": round(value / BASELINE_RTF, 3),
+        }))
+        return
 
     if os.environ.get("BENCH_MODE", "align") == "transcribe":
         from lyricalignment_tpu.decode.beam import beam_search
