@@ -71,6 +71,11 @@ def greedy_decode(
     """Returns i32[B, max_new_tokens], eot-padded after completion."""
     b = audio_features.shape[0]
     max_len = prompt.shape[1] + max_new_tokens
+    if max_len > cfg.n_text_ctx:
+        raise ValueError(
+            f"prompt ({prompt.shape[1]}) + max_new_tokens ({max_new_tokens}) "
+            f"exceeds the decoder context ({cfg.n_text_ctx})"
+        )
     cache = init_decode_cache(params, cfg, audio_features, max_len)
     logits, cache = _prime_cache(params, cfg, prompt, cache)
     suppress = _suppress_mask(cfg, eot, eot, suppress_ids)
@@ -137,6 +142,11 @@ def beam_search(
     xa = jnp.repeat(audio_features, k, axis=0)          # [B*k, ...]
     prompt_k = jnp.repeat(prompt, k, axis=0)
     max_len = prompt.shape[1] + max_new_tokens
+    if max_len > cfg.n_text_ctx:
+        raise ValueError(
+            f"prompt ({prompt.shape[1]}) + max_new_tokens ({max_new_tokens}) "
+            f"exceeds the decoder context ({cfg.n_text_ctx})"
+        )
     cache = init_decode_cache(params, cfg, xa, max_len)
     logits, cache = _prime_cache(params, cfg, prompt_k, cache)
     suppress = _suppress_mask(cfg, eot, eot, suppress_ids)

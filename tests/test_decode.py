@@ -117,3 +117,12 @@ def test_beam_batch_independence(cfg, setup):
     solo, _ = beam_search(params, cfg, xa[:1], prompt[:1], beam_size=3,
                           max_new_tokens=6, eot=EOT)
     np.testing.assert_array_equal(np.asarray(both)[0], np.asarray(solo)[0])
+
+
+def test_decode_context_overflow_raises(cfg, setup):
+    params, xa, prompt = setup
+    with pytest.raises(ValueError, match="decoder context"):
+        greedy_decode(params, cfg, xa, prompt, max_new_tokens=cfg.n_text_ctx + 1, eot=EOT)
+    with pytest.raises(ValueError, match="decoder context"):
+        beam_search(params, cfg, xa, prompt, beam_size=2,
+                    max_new_tokens=cfg.n_text_ctx + 1, eot=EOT)
