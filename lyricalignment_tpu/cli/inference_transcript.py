@@ -6,10 +6,15 @@ loads a fine-tuned AlignModel's whisper (or a pretrained checkpoint with
 (default beam 5) and writes ``[{song_id, song_path, lyric?, inference}]``.
 Refuses to overwrite an existing output file (reference `:153-157`).
 
-TPU re-design: records are transcribed in fixed-size batches through one
-jitted beam-search while_loop (the reference decodes one song at a time,
-crossing host<->device every token). Decoding runs in no-timestamp mode;
-evaluation normalization strips non-text anyway.
+TPU re-design: records that fit one 30 s window are transcribed in
+fixed-size batches through one jitted beam-search while_loop (the
+reference decodes one song at a time, crossing host<->device every token).
+Longer audio goes through whisper's sequential seek decode
+(``decode.longform``): timestamp-rule decoding, condition-on-previous-text
+prompts, seek to the last complete timestamp pair — matching
+``model.transcribe``'s long-form behavior. ``--fast-windows`` switches
+long audio to independent batched 30 s windows instead (faster, no
+cross-window conditioning).
 """
 
 from __future__ import annotations
@@ -47,6 +52,15 @@ def parse_args():
                    help="whisper-style quality gates: retry degenerate "
                         "segments with sampling at rising temperatures, "
                         "silence high-no-speech segments")
+    p.add_argument("--fast-windows", action="store_true",
+                   help="decode >30 s audio as independent batched windows "
+                        "instead of whisper's sequential seek loop")
+    p.add_argument("--length-penalty", type=float, default=None,
+                   help="beam ranking length penalty (Google NMT formula); "
+                        "default None = average logprob, whisper's default")
+    p.add_argument("--no-condition-on-previous-text", action="store_true",
+                   help="long-form: do not prompt each window with the "
+                        "previous window's text")
     p.add_argument("--language", type=str, default="zh")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--seed", type=int, default=114514)
@@ -55,24 +69,46 @@ def parse_args():
 
 
 def transcribe_records(records, params, wcfg, whisper_tok, args):
-    """Batched windowed transcription. Long audio (> 30 s) is split into
-    30 s windows decoded independently (batched together) and the window
-    texts concatenated — the TPU-shaped counterpart of whisper's sequential
-    long-form seek loop."""
+    """Transcription dispatcher. Audio fitting one 30 s window is decoded
+    in fixed-size batches; longer audio goes through whisper's sequential
+    seek loop (``decode.longform``) unless ``--fast-windows`` asks for
+    independent batched windows."""
     from lyricalignment_tpu.text.whisper_tokenizer import non_speech_token_ids
 
     prompt_ids = list(whisper_tok.sot_sequence) + [whisper_tok.no_timestamps]
     suppress_ids = tuple(non_speech_token_ids(whisper_tok))
+    begin_suppress_ids = (
+        tuple(whisper_tok.encode(" ")) + (whisper_tok.eot,)
+        if whisper_tok.has_bpe else ()
+    )
 
     @jax.jit
     def encode(params, audio):
         mel = pad_or_trim(log_mel_spectrogram(audio), N_FRAMES)
         return encode_audio(params, wcfg, mel)
 
-    # expand records into (record_idx, window) work items
+    # expand records into (record_idx, window) work items; long audio is
+    # routed to the sequential long-form decoder unless --fast-windows
     work = []
+    longform_texts: dict = {}
     for ri, r in enumerate(records):
         a = load_audio_file(r.audio_path, args.is_mixture)["speech"]
+        if len(a) > N_SAMPLES and not args.fast_windows:
+            from lyricalignment_tpu.decode.longform import transcribe_longform
+
+            out = transcribe_longform(
+                params, wcfg, a, whisper_tok,
+                beam_size=args.beam_size,
+                temperatures=((0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+                              if args.temperature_fallback else (0.0,)),
+                condition_on_previous_text=not args.no_condition_on_previous_text,
+                suppress_ids=suppress_ids,
+                begin_suppress_ids=begin_suppress_ids,
+                length_penalty=args.length_penalty,
+                seed=args.seed,
+            )
+            longform_texts[ri] = out["text"]
+            continue
         n_windows = max(1, -(-len(a) // N_SAMPLES))
         for w in range(n_windows):
             seg = a[w * N_SAMPLES: (w + 1) * N_SAMPLES]
@@ -93,6 +129,8 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
             entries = decode_with_fallback(
                 params, wcfg, xa, prompt, whisper_tok,
                 beam_size=args.beam_size, max_new_tokens=args.max_new_tokens,
+                suppress_ids=suppress_ids,
+                begin_suppress_ids=begin_suppress_ids,
             )
             for (ri, w, _), entry in zip(chunk, entries):
                 texts.setdefault(ri, {})[w] = entry["text"]
@@ -102,12 +140,15 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
                 params, wcfg, xa, prompt, beam_size=args.beam_size,
                 max_new_tokens=args.max_new_tokens, eot=whisper_tok.eot,
                 suppress_ids=suppress_ids,
+                begin_suppress_ids=begin_suppress_ids,
+                length_penalty=args.length_penalty,
             )
         else:
             tokens = greedy_decode(
                 params, wcfg, xa, prompt,
                 max_new_tokens=args.max_new_tokens, eot=whisper_tok.eot,
                 suppress_ids=suppress_ids,
+                begin_suppress_ids=begin_suppress_ids,
             )
         tokens = np.asarray(tokens)
         for (ri, w, _), row_tokens in zip(chunk, tokens):
@@ -117,8 +158,11 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
 
     results = []
     for ri, r in enumerate(records):
-        windows = texts.get(ri, {})
-        text = "".join(windows[w] for w in sorted(windows))
+        if ri in longform_texts:
+            text = longform_texts[ri]
+        else:
+            windows = texts.get(ri, {})
+            text = "".join(windows[w] for w in sorted(windows))
         entry = {"song_id": Path(r.audio_path).stem, "song_path": r.audio_path}
         if args.use_groundtruth:
             entry["lyric"] = r.text

@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lyricalignment_tpu.decode.beam import _prime_cache, _suppress_mask, beam_search
+from lyricalignment_tpu.decode.beam import (
+    _prime_cache,
+    beam_search,
+    make_processor,
+    sample_loop,
+)
 from lyricalignment_tpu.models.whisper import WhisperConfig, decode_step, init_decode_cache
 
 COMPRESSION_RATIO_THRESHOLD = 2.4
@@ -38,7 +43,8 @@ def compression_ratio(text: str) -> float:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_new_tokens", "eot", "temperature")
+    jax.jit, static_argnames=("cfg", "max_new_tokens", "eot", "temperature",
+                              "suppress_ids", "begin_suppress_ids")
 )
 def sample_decode(
     params: Dict,
@@ -49,43 +55,16 @@ def sample_decode(
     temperature: float = 1.0,
     max_new_tokens: int = 224,
     eot: int = 50257,
+    suppress_ids: tuple = (),
+    begin_suppress_ids: tuple = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Temperature sampling; returns (tokens [B, max_new], sum_logprob [B])."""
-    b = audio_features.shape[0]
     max_len = prompt.shape[1] + max_new_tokens
     cache = init_decode_cache(params, cfg, audio_features, max_len)
     logits, cache = _prime_cache(params, cfg, prompt, cache)
-    suppress = _suppress_mask(cfg, eot, eot)
-
-    def pick(logits, key, done):
-        scaled = (logits + suppress[None, :]) / temperature
-        tok = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
-        logp = jax.nn.log_softmax(logits + suppress[None, :], -1)
-        lp = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
-        tok = jnp.where(done, eot, tok)
-        lp = jnp.where(done, 0.0, lp)
-        return tok, lp
-
-    def cond(state):
-        i, _, _, done, _, _, _ = state
-        return (i < max_new_tokens) & ~jnp.all(done)
-
-    def body(state):
-        i, tok, cache, done, out, sum_lp, key = state
-        logits, cache = decode_step(params, cfg, tok, cache)
-        key, sub = jax.random.split(key)
-        nxt, lp = pick(logits, sub, done)
-        out = out.at[:, i].set(nxt)
-        sum_lp = sum_lp + lp
-        done = done | (nxt == eot)
-        return i + 1, nxt[:, None], cache, done, out, sum_lp, key
-
-    key, sub = jax.random.split(rng)
-    first, lp0 = pick(logits, sub, jnp.zeros((b,), bool))
-    out0 = jnp.full((b, max_new_tokens), eot, jnp.int32).at[:, 0].set(first)
-    state = (jnp.asarray(1), first[:, None], cache, first == eot, out0, lp0, key)
-    _, _, _, _, out, sum_lp, _ = jax.lax.while_loop(cond, body, state)
-    return out, sum_lp
+    process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids)
+    return sample_loop(params, cfg, logits, cache, process, rng, temperature,
+                       max_new_tokens, eot)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -114,6 +93,8 @@ def decode_with_fallback(
     max_new_tokens: int = 224,
     temperatures: Tuple[float, ...] = TEMPERATURES,
     seed: int = 0,
+    suppress_ids: tuple = (),
+    begin_suppress_ids: tuple = (),
 ) -> List[Dict]:
     """whisper's DecodingOptions fallback ladder over a batch.
 
@@ -135,12 +116,16 @@ def decode_with_fallback(
         pr = prompt[jnp.asarray(pending)]
         if temperature == 0.0:
             tokens, scores = beam_search(params, cfg, xa, pr, beam_size=beam_size,
-                                         max_new_tokens=max_new_tokens, eot=eot)
+                                         max_new_tokens=max_new_tokens, eot=eot,
+                                         suppress_ids=suppress_ids,
+                                         begin_suppress_ids=begin_suppress_ids)
             tokens, scores = np.asarray(tokens), np.asarray(scores)
         else:
             tokens, sum_lp = sample_decode(
                 params, cfg, xa, pr, jax.random.PRNGKey(seed + int(temperature * 10)),
-                temperature=temperature, max_new_tokens=max_new_tokens, eot=eot)
+                temperature=temperature, max_new_tokens=max_new_tokens, eot=eot,
+                suppress_ids=suppress_ids,
+                begin_suppress_ids=begin_suppress_ids)
             tokens, sum_lp = np.asarray(tokens), np.asarray(sum_lp)
             lengths = np.maximum((tokens != eot).sum(axis=1) + 1, 1)
             scores = sum_lp / lengths

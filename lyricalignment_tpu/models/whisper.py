@@ -373,6 +373,78 @@ def init_decode_cache(
     return cache
 
 
+def prime_decode_cache(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,
+    cache: Params,
+    length: Optional[jnp.ndarray] = None,
+    aux_index: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Params]:
+    """Prime the decode cache with a whole prompt in ONE forward pass.
+
+    ``tokens`` i32[B, P] left-aligned; ``length`` (i32 scalar, default P) is
+    the number of valid prompt tokens. Positions length..P-1 may hold
+    padding: their K/V land in the cache but are progressively overwritten
+    by generation (which starts at pos=length), and ``decode_step``'s
+    ``slot <= pos`` mask never exposes a stale slot before it is rewritten.
+
+    Returns (logits f32[B, n_vocab] at position length-1, logits at
+    ``aux_index`` (default 0 — pass the <|startoftranscript|> position to
+    read whisper's no-speech probability), primed cache with pos=length).
+
+    Replaces a per-token unroll for long conditioned prompts (whisper's
+    <|startofprev|> context, up to n_text_ctx//2 tokens), which the
+    reference gets from ``model.transcribe`` (`inference_transcript.py:88`).
+    """
+    dec = params["decoder"]
+    dtype = cfg.compute_dtype
+    n_head = cfg.n_text_head
+    p = tokens.shape[1]
+    if length is None:
+        length = jnp.asarray(p, jnp.int32)
+    if aux_index is None:
+        aux_index = jnp.zeros((), jnp.int32)
+
+    x = dec["token_embedding"].astype(dtype)[tokens]
+    x = x + dec["positional_embedding"].astype(dtype)[None, :p]
+    mask = _causal_mask(p, dtype)
+
+    new_blocks = []
+    for block, bc in zip(dec["blocks"], cache["blocks"]):
+        h = _layer_norm(block["attn_ln"], x)
+        q = _split_heads(_linear(block["attn"]["q"], h), n_head)
+        k = _split_heads(_linear(block["attn"]["k"], h), n_head)
+        v = _split_heads(_linear(block["attn"]["v"], h), n_head)
+        scale = (cfg.n_text_state // n_head) ** -0.25
+        att = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale) + mask
+        w = jax.nn.softmax(att.astype(jnp.float32), -1).astype(dtype)
+        attn_out = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+        x = x + _linear(block["attn"]["out"], attn_out.reshape(x.shape))
+
+        h = _layer_norm(block["cross_attn_ln"], x)
+        x = x + _attention(
+            block["cross_attn"], h, None, n_head,
+            kv_override=(bc["cross_k"], bc["cross_v"]),
+        )
+        x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
+        new_blocks.append({
+            **bc,
+            "self_k": jax.lax.dynamic_update_slice_in_dim(bc["self_k"], k, 0, axis=1),
+            "self_v": jax.lax.dynamic_update_slice_in_dim(bc["self_v"], v, 0, axis=1),
+        })
+
+    x = _layer_norm(dec["ln"], x)
+    last_h = jnp.take(x, jnp.clip(length - 1, 0, p - 1), axis=1)
+    aux_h = jnp.take(x, jnp.clip(aux_index, 0, p - 1), axis=1)
+    emb_t = dec["token_embedding"].T.astype(jnp.float32)
+    return (
+        last_h.astype(jnp.float32) @ emb_t,
+        aux_h.astype(jnp.float32) @ emb_t,
+        {"blocks": new_blocks, "pos": length.astype(jnp.int32)},
+    )
+
+
 def decode_step(
     params: Params,
     cfg: WhisperConfig,
