@@ -7,10 +7,10 @@ forced alignment (CE or CTC emissions), and averages MAE over batches.
 TPU notes: audio lengths are bucketed (``--bucket-seconds``) so the jitted
 forward compiles once per bucket instead of per unique length; the Viterbi
 is masked to each sample's true frame count (round(mel_len / 2), the
-reference's ``get_orig_len=True`` trim at `module/align_model.py:88-92`).
-The bidirectional GRU sees up to one bucket of padding frames that the
-reference's exact-trim path does not — sub-bucket granularity bounds the
-deviation.
+reference's ``get_orig_len=True`` trim at `module/align_model.py:88-92`),
+and the GRU recurrences are masked to the same count — logits at valid
+frames are numerically identical to the reference's exact per-sample trim
+despite the padded batch shapes.
 """
 
 from __future__ import annotations
@@ -74,8 +74,10 @@ def align_records(records, params, mcfg, table, bert, args):
     batch_size = max(1, getattr(args, "batch_size", 1))
 
     @jax.jit
-    def forward(params, audio):
-        logits, _ = forward_from_audio(params, mcfg, audio, trim_to_input_length=True)
+    def forward(params, audio, frame_lengths):
+        logits, _ = forward_from_audio(params, mcfg, audio,
+                                       trim_to_input_length=True,
+                                       frame_lengths=frame_lengths)
         return logits
 
     # group indices by bucketed length (header-only peek, no decode)
@@ -105,7 +107,7 @@ def align_records(records, params, mcfg, table, bert, args):
                 lens[j] = L
                 frames[j] = int(round((n // HOP_LENGTH) / 2.0))
 
-            logits = forward(params, jnp.asarray(a))
+            logits = forward(params, jnp.asarray(a), jnp.asarray(frames))
             frames = np.minimum(frames, logits.shape[1])
             on, off = viterbi_align(
                 logits, jnp.asarray(labels), jnp.asarray(lens),

@@ -47,9 +47,13 @@ def align_head_apply(
     x: jnp.ndarray,
     dropout: float = 0.0,
     rng: Optional[jax.Array] = None,
+    lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """x [B, T, D] encoder frames -> logits f32[B, T, output_dim]."""
-    h = bigru_apply(params["gru"], x, dropout=dropout, rng=rng)
+    """x [B, T, D] encoder frames -> logits f32[B, T, output_dim].
+
+    ``lengths`` (i32[B]) masks the GRU recurrences to true frame counts so
+    bucketed/padded batches produce exact-trim logits at valid positions."""
+    h = bigru_apply(params["gru"], x, dropout=dropout, rng=rng, lengths=lengths)
     h = mish(h)
     # final classifier in f32: logits feed CE/CTC losses directly
     return h.astype(jnp.float32) @ params["fc"]["w"] + params["fc"]["b"]

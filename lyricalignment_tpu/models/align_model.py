@@ -104,14 +104,27 @@ def forward_from_audio(
     trim_to_input_length: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     remat: bool = False,
+    frame_lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Raw padded audio [B, T_samples] -> (align_logits, transcribe_logits).
 
     ``trim_to_input_length=False`` reproduces training behavior (pad/trim to
     one 30 s window, keep all 1500 frames, `module/align_model.py:108-115`);
     True reproduces inference behavior (`module/align_model.py:86-105`).
+
+    ``frame_lengths`` (i32[B], optional): per-sample true encoder-frame
+    counts; masks the GRU recurrences so length-bucketed batches give the
+    reference's exact-trim numerics at valid frames.
     """
     mel = log_mel(audio)  # [B, 80, T_mel] (fused Pallas kernel on TPU)
+    if frame_lengths is not None:
+        # zero mel beyond each sample's true length: the reference computes
+        # the mel on exact-length audio and zero-pads the *mel* to 30 s
+        # (`module/align_model.py:89` pad_or_trim), whereas bucketed audio
+        # padding would otherwise leave mel-of-silence values there
+        t_idx = jnp.arange(mel.shape[-1])
+        mel = jnp.where(
+            t_idx[None, None, :] < 2 * frame_lengths[:, None, None], mel, 0.0)
     t_mel = mel.shape[-1]
 
     if not trim_to_input_length or t_mel == N_FRAMES:
@@ -150,7 +163,8 @@ def forward_from_audio(
     align_logits = None
     if cfg.train_alignment:
         align_logits = align_head_apply(
-            params["align_head"], align_embed, dropout=cfg.dropout, rng=dropout_rng
+            params["align_head"], align_embed, dropout=cfg.dropout,
+            rng=dropout_rng, lengths=frame_lengths
         )
 
     transcribe_logits = None

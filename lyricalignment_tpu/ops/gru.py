@@ -38,8 +38,17 @@ def gru_layer(
     x: jnp.ndarray,
     reverse: bool = False,
     unroll: int = 4,
+    lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Run one GRU direction over x [B, T, In] -> [B, T, H]."""
+    """Run one GRU direction over x [B, T, In] -> [B, T, H].
+
+    ``lengths`` (i32[B], optional): per-sample true sequence length. The
+    hidden state passes through unchanged at positions >= length, so a
+    reverse scan entering from the padded tail reaches the last true frame
+    with the same zero state an exact-trim run would — outputs at true
+    positions are identical to running on the trimmed sequence (the
+    reference's per-sample exact trim, `module/align_model.py:86-92`).
+    """
     h_dim = cell["w_hh"].shape[0]
     dtype = x.dtype
 
@@ -48,19 +57,34 @@ def gru_layer(
     w_hh = cell["w_hh"].astype(dtype)
     b_hh = cell["b_hh"].astype(dtype)
 
-    def step(h, xw_t):
+    def gates(h, xw_t):
         hw = h @ w_hh + b_hh  # [B, 3H]
         xr, xz, xn = jnp.split(xw_t, 3, axis=-1)
         hr, hz, hn = jnp.split(hw, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
-        return h_new, h_new
+        return (1.0 - z) * n + z * h
+
+    if lengths is None:
+        def step(h, xw_t):
+            h_new = gates(h, xw_t)
+            return h_new, h_new
+
+        xs = jnp.swapaxes(xw, 0, 1)  # [T, B, 3H] scan-major
+    else:
+        valid_t = (jnp.arange(x.shape[1])[:, None]
+                   < lengths[None, :].astype(jnp.int32))  # [T, B]
+
+        def step(h, xs_t):
+            xw_t, valid = xs_t
+            h_new = jnp.where(valid[:, None], gates(h, xw_t), h)
+            return h_new, h_new
+
+        xs = (jnp.swapaxes(xw, 0, 1), valid_t)
 
     h0 = jnp.zeros((x.shape[0], h_dim), dtype)
-    xw_t = jnp.swapaxes(xw, 0, 1)  # [T, B, 3H] scan-major
-    _, ys = jax.lax.scan(step, h0, xw_t, reverse=reverse, unroll=unroll)
+    _, ys = jax.lax.scan(step, h0, xs, reverse=reverse, unroll=unroll)
     return jnp.swapaxes(ys, 0, 1)
 
 
@@ -87,17 +111,22 @@ def bigru_apply(
     dropout: float = 0.0,
     rng: Optional[jax.Array] = None,
     unroll: int = 4,
+    lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Stacked bi-GRU: x [B, T, In] -> [B, T, H * directions].
 
     Dropout (torch semantics: applied to the outputs of every layer except
-    the last) is active only when a ``rng`` is provided.
+    the last) is active only when a ``rng`` is provided. ``lengths``
+    (i32[B]) masks the recurrences to each sample's true length — outputs
+    at positions < length match an exact-trim run (see ``gru_layer``).
     """
     layers = params["layers"]
     for i, layer in enumerate(layers):
-        outs = [gru_layer(layer["dirs"][0], x, reverse=False, unroll=unroll)]
+        outs = [gru_layer(layer["dirs"][0], x, reverse=False, unroll=unroll,
+                          lengths=lengths)]
         if len(layer["dirs"]) == 2:
-            outs.append(gru_layer(layer["dirs"][1], x, reverse=True, unroll=unroll))
+            outs.append(gru_layer(layer["dirs"][1], x, reverse=True,
+                                  unroll=unroll, lengths=lengths))
         x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
         if dropout > 0.0 and rng is not None and i < len(layers) - 1:
             keep = jax.random.bernoulli(jax.random.fold_in(rng, i), 1.0 - dropout, x.shape)

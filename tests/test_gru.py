@@ -63,3 +63,32 @@ def test_align_head_shapes_and_dropout(rng):
     d0 = align_head_apply(params, x, dropout=0.5, rng=None)
     np.testing.assert_allclose(np.asarray(d0), np.asarray(logits))
     assert np.abs(np.asarray(d1) - np.asarray(logits)).max() > 1e-4
+
+
+def test_length_masked_bigru_equals_exact_trim(rng):
+    """Padded batch + lengths mask == per-sample exact-trim run (the
+    reference's `module/align_model.py:86-92` numerics), bit-for-bit at
+    valid positions."""
+    n_in, n_hidden, layers = 12, 16, 2
+    params = init_bigru(jax.random.PRNGKey(9), n_in, n_hidden, layers, True)
+    t_pad = 20
+    lengths = np.array([13, 20, 7], np.int32)
+    x = rng.standard_normal((3, t_pad, n_in)).astype(np.float32)
+    # poison the padding region: it must not leak into valid outputs
+    for b, L in enumerate(lengths):
+        x[b, L:] = 1e3
+
+    got = np.asarray(bigru_apply(params, jnp.asarray(x),
+                                 lengths=jnp.asarray(lengths)))
+    for b, L in enumerate(lengths):
+        exact = np.asarray(bigru_apply(params, jnp.asarray(x[b:b + 1, :L])))
+        np.testing.assert_allclose(got[b:b + 1, :L], exact, atol=1e-6, rtol=1e-6)
+
+
+def test_length_mask_none_is_unmasked(rng):
+    params = init_bigru(jax.random.PRNGKey(4), 8, 8, 1, True)
+    x = rng.standard_normal((2, 9, 8)).astype(np.float32)
+    full = np.asarray(bigru_apply(params, jnp.asarray(x)))
+    masked = np.asarray(bigru_apply(params, jnp.asarray(x),
+                                    lengths=jnp.asarray([9, 9], np.int32)))
+    np.testing.assert_allclose(masked, full, atol=1e-6)
