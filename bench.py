@@ -115,19 +115,27 @@ def main():
         prompt = jnp.asarray(np.tile(
             list(wt.sot_sequence) + [wt.no_timestamps], (batch, 1)).astype(np.int32))
 
+        # store decode weights in bf16: the token-by-token decoder is
+        # weight-streaming-bound, and f32-resident params would double the
+        # HBM traffic of every step regardless of compute_dtype
+        dparams = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 and x.ndim >= 2 else x,
+            params["whisper"])
+
         @jax.jit
-        def transcribe_batch(params, audio):
+        def transcribe_batch(dparams, params, audio):
             mel = pad_or_trim(log_mel(audio), N_FRAMES)
             xa = encode_audio(params["whisper"], mcfg.whisper, mel)
-            toks, _ = beam_search(params["whisper"], mcfg.whisper, xa, prompt,
+            toks, _ = beam_search(dparams, mcfg.whisper, xa, prompt,
                                   beam_size=5, max_new_tokens=64, eot=wt.eot)
             return toks
 
-        np.asarray(transcribe_batch(params, audio))
+        np.asarray(transcribe_batch(dparams, params, audio))
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
-            out = transcribe_batch(params, audio)
+            out = transcribe_batch(dparams, params, audio)
         _ = np.asarray(out[0, 0])
         elapsed = time.perf_counter() - t0
         value = iters * batch * clip_seconds / elapsed / jax.device_count()

@@ -249,6 +249,7 @@ def main():
                 if fired:
                     print(f"Saving The {name} model")
 
+    policy.close()  # wait for the in-flight async checkpoint write
     print(f"done in {time.time()-t_start:.1f}s")
 
 

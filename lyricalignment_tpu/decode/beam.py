@@ -361,9 +361,10 @@ def beam_search(
     """
     k = beam_size
     _check_context(cfg, prompt.shape[1], max_new_tokens)
-    xa = jnp.repeat(audio_features, k, axis=0)          # [B*k, ...]
+    # cross K/V computed + streamed once per sample; self cache per beam row
     prompt_k = jnp.repeat(prompt, k, axis=0)
-    cache = init_decode_cache(params, cfg, xa, prompt.shape[1] + max_new_tokens)
+    cache = init_decode_cache(params, cfg, audio_features,
+                              prompt.shape[1] + max_new_tokens, beam_size=k)
     logits, cache = _prime_cache(params, cfg, prompt_k, cache)
     process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids)
     return beam_loop(params, cfg, logits, cache, process, k, max_new_tokens,

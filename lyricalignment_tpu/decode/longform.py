@@ -78,9 +78,9 @@ def _beam_window(params, cfg, xa, prompt, length, sot_index,
 
     Returns (tokens [1, max_new], score [1], no_speech_prob [1])."""
     k = beam_size
-    xa_k = jnp.repeat(xa, k, axis=0)
     prompt_k = jnp.repeat(prompt, k, axis=0)
-    cache = init_decode_cache(params, cfg, xa_k, prompt.shape[1] + max_new_tokens)
+    cache = init_decode_cache(params, cfg, xa, prompt.shape[1] + max_new_tokens,
+                              beam_size=k)
     logits, aux, cache = prime_decode_cache(
         params, cfg, prompt_k, cache, length, aux_index=sot_index)
     ns_prob = jax.nn.softmax(aux[:1], axis=-1)[:, no_speech]

@@ -353,9 +353,18 @@ def decoder_logits(
 # ---------------------------------------------------------------------------
 
 def init_decode_cache(
-    params: Params, cfg: WhisperConfig, audio_features: jnp.ndarray, max_len: int
+    params: Params, cfg: WhisperConfig, audio_features: jnp.ndarray,
+    max_len: int, beam_size: int = 1,
 ) -> Params:
-    """Precompute cross-attention K/V and allocate static self-attn cache."""
+    """Precompute cross-attention K/V and allocate static self-attn cache.
+
+    With ``beam_size > 1`` the self-attention cache rows are allocated for
+    ``B * beam_size`` token streams while cross K/V stay at ``B`` rows —
+    every beam of a sample attends the same audio, so storing (and, far
+    more importantly, streaming from HBM every decode step) one copy per
+    beam would multiply the dominant memory traffic of autoregressive
+    decoding by the beam width for nothing.
+    """
     dtype = cfg.compute_dtype
     b = audio_features.shape[0]
     xa = audio_features.astype(dtype)
@@ -367,10 +376,30 @@ def init_decode_cache(
         cache["blocks"].append({
             "cross_k": ck,
             "cross_v": cv,
-            "self_k": jnp.zeros((b, max_len, cfg.n_text_head, d_h), dtype),
-            "self_v": jnp.zeros((b, max_len, cfg.n_text_head, d_h), dtype),
+            "self_k": jnp.zeros((b * beam_size, max_len, cfg.n_text_head, d_h), dtype),
+            "self_v": jnp.zeros((b * beam_size, max_len, cfg.n_text_head, d_h), dtype),
         })
     return cache
+
+
+def _grouped_cross_attention(
+    p: Params,
+    x: jnp.ndarray,          # [B*g, S, D] decoder hidden (post-LN)
+    ck: jnp.ndarray,         # [B, T, H, Dh] precomputed cross K
+    cv: jnp.ndarray,         # [B, T, H, Dh]
+    n_head: int,
+) -> jnp.ndarray:
+    """Cross-attention where g query rows share each audio row (beams)."""
+    bg, s, d = x.shape
+    b = ck.shape[0]
+    g = bg // b
+    scale = (d // n_head) ** -0.25
+    q = _split_heads(_linear(p["q"], x), n_head) * scale       # [B*g, S, H, Dh]
+    q = q.reshape(b, g, s, n_head, d // n_head)
+    logits = jnp.einsum("bgshd,bthd->bgsht", q, ck * scale)
+    w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+    out = jnp.einsum("bgsht,bthd->bgshd", w, cv)
+    return _linear(p["out"], out.reshape(bg, s, d))
 
 
 def prime_decode_cache(
@@ -423,10 +452,8 @@ def prime_decode_cache(
         x = x + _linear(block["attn"]["out"], attn_out.reshape(x.shape))
 
         h = _layer_norm(block["cross_attn_ln"], x)
-        x = x + _attention(
-            block["cross_attn"], h, None, n_head,
-            kv_override=(bc["cross_k"], bc["cross_v"]),
-        )
+        x = x + _grouped_cross_attention(
+            block["cross_attn"], h, bc["cross_k"], bc["cross_v"], n_head)
         x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
         new_blocks.append({
             **bc,
@@ -482,10 +509,8 @@ def decode_step(
         x = x + _linear(block["attn"]["out"], attn_out.reshape(x.shape))
 
         h = _layer_norm(block["cross_attn_ln"], x)
-        x = x + _attention(
-            block["cross_attn"], h, None, n_head,
-            kv_override=(bc["cross_k"], bc["cross_v"]),
-        )
+        x = x + _grouped_cross_attention(
+            block["cross_attn"], h, bc["cross_k"], bc["cross_v"], n_head)
         x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
         new_blocks.append({**bc, "self_k": self_k, "self_v": self_v})
 

@@ -47,14 +47,48 @@ def load_json(path: str) -> Dict:
 
 class BestCheckpointPolicy:
     """Tracks the reference's four best/last criteria and writes orbax
-    checkpoints under ``save_dir/{name}_model``."""
+    checkpoints under ``save_dir/{name}_model``.
 
-    def __init__(self, save_dir: str, initial_losses: Dict[str, float]):
+    Saves are asynchronous by default (SURVEY.md §5): the device->host
+    snapshot is taken synchronously, then serialization/IO runs on a
+    background thread so the train loop is not stalled by disk writes
+    (the full-state medium checkpoint is ~3 GB and the host has one core).
+    A pending save is awaited before the next one starts and in ``close()``
+    — call ``close()`` (or use the policy as a context manager) before
+    reading the files.
+    """
+
+    def __init__(self, save_dir: str, initial_losses: Dict[str, float],
+                 use_async: bool = True):
         self.save_dir = save_dir
         os.makedirs(save_dir, exist_ok=True)
         self.min_total = initial_losses["total"]
         self.min_align = initial_losses["align_ce"] + initial_losses.get("align_ctc", 0.0)
         self.min_trans = initial_losses["trans_ce"]
+        self._ckptr = (
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            if use_async else ocp.PyTreeCheckpointer()
+        )
+
+    def _wait(self) -> None:
+        if hasattr(self._ckptr, "wait_until_finished"):
+            self._ckptr.wait_until_finished()
+
+    def _save(self, name: str, tree: Any) -> None:
+        self._wait()
+        self._ckptr.save(os.path.abspath(os.path.join(self.save_dir, name)),
+                         tree, force=True)
+
+    def close(self) -> None:
+        """Block until the last save is durable on disk."""
+        self._wait()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def update(
         self,
@@ -71,23 +105,25 @@ class BestCheckpointPolicy:
 
         if eval_losses["total"] < self.min_total:
             self.min_total = eval_losses["total"]
-            save_pytree(os.path.join(self.save_dir, "best_model"), tree)
+            self._save("best_model", tree)
             saved["best"] = True
 
         align = eval_losses["align_ce"] + eval_losses.get("align_ctc", 0.0)
         if align < self.min_align:
             self.min_align = align
-            save_pytree(os.path.join(self.save_dir, "best_align_model"), tree)
+            self._save("best_align_model", tree)
             saved["best_align"] = True
 
         if eval_losses["trans_ce"] < self.min_trans:
             self.min_trans = eval_losses["trans_ce"]
-            save_pytree(os.path.join(self.save_dir, "best_trans_model"), tree)
+            self._save("best_trans_model", tree)
             saved["best_trans"] = True
 
         if save_all:
-            save_pytree(os.path.join(self.save_dir, f"step{step}"), tree)
-        save_pytree(os.path.join(self.save_dir, "last_model"), tree)
+            self._save(f"step{step}", tree)
+        # the trailing save runs in the background: training resumes while
+        # last_model serializes
+        self._save("last_model", tree)
         return saved
 
 

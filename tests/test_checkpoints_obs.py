@@ -39,6 +39,7 @@ def test_best_policy_criteria(tmp_path):
          "trans_ce": 6.0, "trans_ctc": 0.0},
         small_tree(1.0), step=1)
     assert saved == {"best": False, "best_align": True, "best_trans": False}
+    policy.close()  # async saves: wait before inspecting the filesystem
     assert os.path.isdir(tmp_path / "best_align_model")
     assert os.path.isdir(tmp_path / "last_model")
     assert not os.path.isdir(tmp_path / "best_model")
@@ -51,6 +52,7 @@ def test_best_policy_criteria(tmp_path):
     assert saved["best"] and saved["best_trans"] and not saved["best_align"]
 
     # last_model always refreshed with the newest tree
+    policy.close()
     last = restore_pytree(str(tmp_path / "last_model"))
     np.testing.assert_allclose(np.asarray(last["a"]), 2.0)
 
@@ -60,6 +62,7 @@ def test_save_all_checkpoints(tmp_path):
             "trans_ce": 1.0, "trans_ctc": 0.0}
     policy = BestCheckpointPolicy(str(tmp_path), init)
     policy.update(init, small_tree(), step=7, save_all=True)
+    policy.close()
     assert os.path.isdir(tmp_path / "step7")
 
 
@@ -78,3 +81,23 @@ def test_trace_annotation_noop():
     with trace("phase"):
         x = 1 + 1
     assert x == 2
+
+
+def test_policy_sync_mode(tmp_path):
+    init = {"total": 1.0, "align_ce": 1.0, "align_ctc": 0.0,
+            "trans_ce": 1.0, "trans_ctc": 0.0}
+    policy = BestCheckpointPolicy(str(tmp_path), init, use_async=False)
+    policy.update(init, small_tree(4.0), step=1)
+    # synchronous saves are durable immediately
+    last = restore_pytree(str(tmp_path / "last_model"))
+    np.testing.assert_allclose(np.asarray(last["a"]), 4.0)
+    policy.close()
+
+
+def test_policy_context_manager_waits(tmp_path):
+    init = {"total": 1.0, "align_ce": 1.0, "align_ctc": 0.0,
+            "trans_ce": 1.0, "trans_ctc": 0.0}
+    with BestCheckpointPolicy(str(tmp_path), init) as policy:
+        policy.update(init, small_tree(6.0), step=1)
+    last = restore_pytree(str(tmp_path / "last_model"))
+    np.testing.assert_allclose(np.asarray(last["a"]), 6.0)
