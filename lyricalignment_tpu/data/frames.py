@@ -44,6 +44,12 @@ def rasterize_frame_labels(
     lyric_tokens = np.asarray(lyric_tokens)
     fill_value = IGNORE_ID if use_ctc else 0
 
+    if len(onset_offset) == 0:
+        # the reference crashes on offsets[-1] here (`dataset.py:132`); make
+        # the precondition explicit instead
+        raise ValueError(
+            "rasterize_frame_labels needs at least one [onset, offset] pair "
+            "(sample has alignment ground truth but an empty on_offset list)")
     onsets = np.array([p[0] for p in onset_offset], dtype=np.float64)
     offsets = np.array([p[1] for p in onset_offset], dtype=np.float64)
 

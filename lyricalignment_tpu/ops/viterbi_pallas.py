@@ -19,13 +19,19 @@ over lanes — so every per-step vector op covers all batch items at once:
 Inputs are pre-padded lane-aligned (K to 128, T to 8, B to 8). Emission
 prep (CE/CTC) is shared with the scan backend.
 
-Measured on v5e (B=8, T=1500, L=48): exact output parity with the scan
-backend, but ~17 ms vs the scan's ~4 ms — the 3000 sequential
-fori_loop iterations pay ~5.7 us each of Mosaic loop overhead, whereas
-XLA's scan fuses the tiny per-step ops more aggressively. The scan
-backend therefore remains the production default (``viterbi_align``);
-this kernel is kept as the Pallas formulation of the reference's one
-native kernel, exact-parity tested (tests/test_viterbi_pallas.py).
+DEMOTED — parity exhibit, not the production kernel. Measured on v5e
+(B=8, T=1500, L=48, CTC): exact output parity with the scan backend but
+~17-18 ms vs the scan's ~4.9 ms. Two optimization attempts were made and
+benchmarked: ``fori_loop(..., unroll=8)`` (Mosaic rejects partial unroll)
+and manual 8-step loop blocking (outer loop over T/8 with the inner steps
+Python-unrolled) — the blocked variant measured 18.35 ms, *slightly worse*
+than the plain loop, showing per-iteration loop control is NOT the
+bottleneck; the serial lane-shift recurrence itself is, and XLA's scan
+schedules the same dependency chain better. Per the round-2 review this
+kernel is therefore explicitly demoted: the ``lax.scan`` backend
+(``viterbi_align``) is the production default, and this file is kept as
+the exact-parity Pallas formulation of the reference's one native kernel
+(tests/test_viterbi_pallas.py).
 """
 
 from __future__ import annotations

@@ -7,6 +7,12 @@ actual jitted trainer, then Viterbi-align and check MAE against ground
 truth. With 200 steps this lands around MAE ~0.01-0.05 s; a broken
 gradient path, loss, Viterbi kernel, or label rasterizer pushes it to the
 ~1-2 s degenerate regime.
+
+Covers BOTH training recipes:
+- ``ce``:  plain frame CE with silence class 0 (reference default)
+- ``ctc``: the paper's configuration (`scripts/train_multitask.sh`
+  --use-ctc-loss, reference `train_multitask.py:277-293`): word CE +
+  sigmoid silence head + CTC loss, evaluated with CTC-mode Viterbi.
 """
 
 import jax
@@ -45,7 +51,9 @@ def make_clip(rng, n_syll=5):
 
 
 @pytest.mark.slow
-def test_learns_alignment_end_to_end():
+@pytest.mark.parametrize("mode", ["ce", "ctc"])
+def test_learns_alignment_end_to_end(mode):
+    use_ctc = mode == "ctc"
     rng = np.random.default_rng(0)
     clips = [make_clip(rng) for _ in range(6)]
 
@@ -53,10 +61,11 @@ def test_learns_alignment_end_to_end():
         whisper=WhisperConfig(n_audio_state=64, n_audio_head=4, n_audio_layer=2,
                               n_text_state=64, n_text_head=4, n_text_layer=1,
                               n_vocab=32),
-        hidden_dim=32, output_dim=VOCAB, dropout=0.0, freeze_encoder=True,
+        hidden_dim=32, output_dim=VOCAB + (1 if use_ctc else 0),
+        dropout=0.0, freeze_encoder=True,
         train_alignment=True, train_transcript=False,
     )
-    tcfg = TrainConfig(accum_grad_steps=1, use_ctc=False, vocab_size=VOCAB,
+    tcfg = TrainConfig(accum_grad_steps=1, use_ctc=use_ctc, vocab_size=VOCAB,
                        total_steps=1000, warmup_steps=20, head_lr=2e-3)
     params = init_align_model(jax.random.PRNGKey(0), mcfg)
     state, tx = init_train_state(params, tcfg)
@@ -74,17 +83,22 @@ def test_learns_alignment_end_to_end():
             a, lab, onoff = clips[i]
             b["audio"][j, : len(a)] = a
             b["frame_labels"][j] = rasterize_frame_labels(
-                np.array(lab), onoff, use_ctc=False, total_frames=1500)
+                np.array(lab), onoff, use_ctc=use_ctc, total_frames=1500)
+            if use_ctc:
+                b["ctc_labels"][j, : len(lab)] = lab
+                b["label_lengths"][j] = len(lab)
         return {k: jnp.asarray(v[None]) for k, v in b.items()}
 
     key = jax.random.PRNGKey(1)
+    track = "align_ctc" if use_ctc else "align_ce"
     first_loss = None
     for step in range(200):
         idx = list(rng.choice(len(clips), size=2, replace=False))
         state, losses = step_fn(state, make_batch(idx), key)
         if first_loss is None:
-            first_loss = float(losses["align_ce"])
-    assert float(losses["align_ce"]) < first_loss * 0.2
+            first_loss = float(losses[track])
+    assert float(losses[track]) < first_loss * 0.2, (
+        f"{track}: {first_loss} -> {float(losses[track])}")
 
     total = 0.0
     for a, lab, onoff in clips:
@@ -97,8 +111,8 @@ def test_learns_alignment_end_to_end():
         labels[0, :L] = lab
         on, off = viterbi_align(logits, jnp.asarray(labels),
                                 jnp.asarray([L], jnp.int32),
-                                jnp.asarray([400], jnp.int32), mode="ce")
+                                jnp.asarray([400], jnp.int32), mode=mode)
         sec = np.asarray(frames_to_seconds(on, off))[0, :L]
         total += mae([onoff], [sec.tolist()])
     avg = total / len(clips)
-    assert avg < 0.08, f"alignment did not converge: MAE={avg:.3f}s"
+    assert avg < 0.08, f"alignment did not converge ({mode}): MAE={avg:.3f}s"

@@ -140,3 +140,12 @@ def test_frame_labels_fixed_length_pad_and_clip():
     assert (out[12:] == -100).all()
     out2 = rasterize_frame_labels(tokens, onoff, total_frames=5)
     assert out2.shape == (5,)
+
+
+def test_frame_labels_empty_onoffset_raises():
+    # explicit precondition (the reference crashes on offsets[-1] instead,
+    # dataset.py:132)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rasterize_frame_labels(np.array([], np.int32), [])
