@@ -92,7 +92,13 @@ class LyricAligner:
         beam_size: int = 5,
         max_new_tokens: int = 224,
         language: str = "zh",
+        fast_windows: bool = False,
+        length_penalty: Optional[float] = None,
+        condition_on_previous_text: bool = True,
+        temperature_fallback: bool = False,
     ) -> str:
+        """Transcribe one song; >30 s audio runs whisper's sequential seek
+        decode (``decode.longform``) unless ``fast_windows``."""
         from lyricalignment_tpu.cli.inference_transcript import transcribe_records
         from lyricalignment_tpu.data.records import Record
         from lyricalignment_tpu.text.whisper_tokenizer import WhisperTokenizer
@@ -104,7 +110,10 @@ class LyricAligner:
         args = SimpleNamespace(
             is_mixture=0, batch_size=4, beam_size=beam_size,
             max_new_tokens=max_new_tokens, use_groundtruth=False,
-            temperature_fallback=False,
+            temperature_fallback=temperature_fallback,
+            fast_windows=fast_windows, length_penalty=length_penalty,
+            no_condition_on_previous_text=not condition_on_previous_text,
+            seed=114514,
         )
         results = transcribe_records(
             [Record(audio_path=audio_path, text="")],

@@ -216,10 +216,15 @@ def beam_loop(
         logp = jnp.where(done[:, None], eot_only[None, :], logp)
 
         cand = sum_lp[:, None] + logp                    # [B*k, V]
-        cand = cand.reshape(b, k * v)
-        top_lp, flat_idx = jax.lax.top_k(cand, k)        # [B, k]
-        beam_idx = flat_idx // v                         # source beam within b
-        tok_idx = (flat_idx % v).astype(jnp.int32)
+        # two-stage top-k: each global winner is necessarily within the
+        # top-k of its source beam, so select per-beam over V first, then
+        # over the k*k survivors — identical result (ties included: both
+        # stages are beam-major then vocab-id ordered), ~k x narrower sort
+        row_lp, row_tok = jax.lax.top_k(cand, k)         # [B*k, k]
+        top_lp, flat = jax.lax.top_k(row_lp.reshape(b, k * k), k)  # [B, k]
+        beam_idx = flat // k                             # source beam within b
+        tok_idx = jnp.take_along_axis(
+            row_tok.reshape(b, k * k), flat, axis=1).astype(jnp.int32)
 
         src = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)  # [B*k]
         cache = _gather_cache(cache, src)

@@ -63,3 +63,20 @@ def test_aligner_from_model_dir(model_dir, tmp_path):
 def test_aligner_requires_vocab(model_dir):
     with pytest.raises(ValueError):
         LyricAligner.from_model_dir(model_dir)
+
+
+def test_aligner_transcribe_longform_route(model_dir, tmp_path):
+    """>30 s audio goes through the sequential long-form decoder; without a
+    BPE ranks file the text is the token-id rendering (still a str)."""
+    wav = str(tmp_path / "long35.wav")
+    rng = np.random.default_rng(1)
+    write_wav(wav, (rng.standard_normal(35 * 16000) * 0.05).astype(np.float32))
+
+    aligner = LyricAligner.from_model_dir(model_dir, synthetic_vocab=True)
+    text = aligner.transcribe(wav, beam_size=1)
+    assert isinstance(text, str)
+
+    # independent-window fallback also runs
+    text2 = aligner.transcribe(wav, beam_size=1, fast_windows=True,
+                               max_new_tokens=8)
+    assert isinstance(text2, str)
