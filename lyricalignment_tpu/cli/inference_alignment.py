@@ -46,6 +46,13 @@ def parse_args():
     p.add_argument("--bucket-seconds", type=float, default=5.0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--max-label-len", type=int, default=128)
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard inference batches over N chips (data "
+                        "parallel; 0 = single device). batch-size must be "
+                        "divisible by N")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-shard the whisper backbone over N chips "
+                        "(Megatron TP; combine with --mesh-data)")
     add_asset_args(p)
     return p.parse_args()
 
@@ -73,6 +80,28 @@ def align_records(records, params, mcfg, table, bert, args):
     mode = "ctc" if args.use_ctc_loss else "ce"
     batch_size = max(1, getattr(args, "batch_size", 1))
 
+    # optional multi-chip inference: batches sharded over the data axis,
+    # backbone optionally tensor-sharded; XLA inserts the ICI collectives
+    mesh = None
+    mesh_data = getattr(args, "mesh_data", 0)
+    mesh_model = getattr(args, "mesh_model", 1)
+    if mesh_data or mesh_model > 1:
+        from lyricalignment_tpu.parallel.mesh import (
+            batch_sharding,
+            make_mesh,
+            shard_align_params,
+        )
+
+        n_dev = (mesh_data or (len(jax.devices()) // mesh_model)) * mesh_model
+        mesh = make_mesh(data=mesh_data or -1, model=mesh_model,
+                         devices=jax.devices()[:n_dev])
+        if batch_size % mesh.shape["data"]:
+            raise SystemExit(
+                f"--batch-size {batch_size} not divisible by the data axis "
+                f"({mesh.shape['data']})")
+        params = shard_align_params(params, mesh, tp=mesh_model > 1)
+        data_sharding = batch_sharding(mesh)
+
     @jax.jit
     def forward(params, audio, frame_lengths):
         logits, _ = forward_from_audio(params, mcfg, audio,
@@ -91,11 +120,13 @@ def align_records(records, params, mcfg, table, bert, args):
         idxs = buckets[padded_len]
         for start in range(0, len(idxs), batch_size):
             group = idxs[start: start + batch_size]
-            B = len(group)
+            # under a mesh every batch keeps the full static size (pad rows
+            # are dropped after viterbi) so shards stay equal-sized
+            B = batch_size if mesh is not None else len(group)
             a = np.zeros((B, padded_len), np.float32)
             labels = np.zeros((B, args.max_label_len), np.int32)
-            lens = np.zeros((B,), np.int32)
-            frames = np.zeros((B,), np.int32)
+            lens = np.ones((B,), np.int32)
+            frames = np.ones((B,), np.int32)
             for j, i in enumerate(group):
                 audio = load_audio_file(records[i].audio_path, args.is_mixture)["speech"]
                 n = min(len(audio), padded_len)
@@ -107,7 +138,12 @@ def align_records(records, params, mcfg, table, bert, args):
                 lens[j] = L
                 frames[j] = int(round((n // HOP_LENGTH) / 2.0))
 
-            logits = forward(params, jnp.asarray(a), jnp.asarray(frames))
+            audio_dev = jnp.asarray(a)
+            frames_dev = jnp.asarray(frames)
+            if mesh is not None:
+                audio_dev = jax.device_put(audio_dev, data_sharding)
+                frames_dev = jax.device_put(frames_dev, data_sharding)
+            logits = forward(params, audio_dev, frames_dev)
             frames = np.minimum(frames, logits.shape[1])
             on, off = viterbi_align(
                 logits, jnp.asarray(labels), jnp.asarray(lens),

@@ -1,0 +1,71 @@
+"""Multi-chip inference: the alignment CLI sharded over a ("data","model")
+mesh must produce the same boundaries as the single-device run (GSPMD DP +
+Megatron TP over the virtual 8-device CPU mesh)."""
+
+from types import SimpleNamespace
+
+import jax
+import numpy as np
+import pytest
+
+from lyricalignment_tpu.cli.inference_alignment import align_records
+from lyricalignment_tpu.data.audio_io import write_wav
+from lyricalignment_tpu.data.records import Record
+from lyricalignment_tpu.models.align_model import AlignModelConfig, init_align_model
+from lyricalignment_tpu.models.whisper import WhisperConfig
+
+N_CLASSES = 12
+
+
+class StubBert:
+    def encode(self, text, add_special_tokens=False):
+        return list(range(len(text)))
+
+
+class StubTable:
+    def map_tokens(self, ids):
+        rng = np.random.default_rng(7)
+        return rng.integers(1, N_CLASSES - 1, size=len(ids)).astype(np.int32)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("audio")
+    mcfg = AlignModelConfig(
+        whisper=WhisperConfig(n_mels=80, n_vocab=32, n_audio_ctx=1500,
+                              n_audio_state=32, n_audio_head=4, n_audio_layer=1,
+                              n_text_ctx=8, n_text_state=32, n_text_head=4,
+                              n_text_layer=1),
+        hidden_dim=16, output_dim=N_CLASSES + 1,
+        train_alignment=True, train_transcript=False,
+    )
+    params = init_align_model(jax.random.PRNGKey(3), mcfg)
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(6):  # 6 records, batch 4 -> a full batch + a ragged one
+        n = int((3.0 + 0.7 * i) * 16000)
+        wav = str(d / f"r{i}.wav")
+        write_wav(wav, (rng.standard_normal(n) * 0.1).astype(np.float32))
+        records.append(Record(audio_path=wav, text="abcde"))
+    return mcfg, params, records
+
+
+def _run(mcfg, params, records, **mesh_kwargs):
+    args = SimpleNamespace(use_ctc_loss=True, is_mixture=0, bucket_seconds=4.0,
+                           max_label_len=16, batch_size=4, **mesh_kwargs)
+    return [seg for _, seg in align_records(
+        records, params, mcfg, StubTable(), StubBert(), args)]
+
+
+def test_mesh_dp_tp_matches_single_device(setup):
+    mcfg, params, records = setup
+    single = _run(mcfg, params, records)
+    meshed = _run(mcfg, params, records, mesh_data=4, mesh_model=2)
+    for s, m in zip(single, meshed):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(m), atol=1e-4)
+
+
+def test_mesh_batch_divisibility_enforced(setup):
+    mcfg, params, records = setup
+    with pytest.raises(SystemExit, match="divisible"):
+        _run(mcfg, params, records[:2], mesh_data=3, mesh_model=1)
