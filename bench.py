@@ -44,7 +44,10 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     clip_seconds = float(os.environ.get("BENCH_SECONDS", "30"))
 
-    wcfg = dataclasses.replace(WHISPER_CONFIGS[model_name], compute_dtype=jnp.bfloat16)
+    # bf16 compute + tanh GELU: the gelu approximation error (<= 3e-3) is
+    # below the bf16 rounding already accepted on this path
+    wcfg = dataclasses.replace(WHISPER_CONFIGS[model_name],
+                               compute_dtype=jnp.bfloat16, fast_gelu=True)
     mcfg = AlignModelConfig(whisper=wcfg, hidden_dim=384, output_dim=21128 + 1)
     params = init_align_model(jax.random.PRNGKey(0), mcfg)
 

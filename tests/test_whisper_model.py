@@ -91,3 +91,28 @@ def test_bf16_compute_close_to_f32(tiny_cfg, params, rng):
     bf16 = np.asarray(encode_audio(params, bf_cfg, jnp.asarray(mel))).astype(np.float32)
     # bf16 has ~3 decimal digits; activations are O(1)
     assert np.abs(f32 - bf16).mean() < 0.05
+
+
+def test_fast_gelu_close_to_exact(rng):
+    """fast_gelu (tanh approximation, encoder only) stays within bf16-level
+    tolerance of the exact-GELU encoder."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from lyricalignment_tpu.models.whisper import (
+        WhisperConfig,
+        encode_audio,
+        init_whisper_params,
+    )
+
+    cfg = WhisperConfig(n_mels=80, n_vocab=32, n_audio_ctx=50, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=2, n_text_ctx=8,
+                        n_text_state=32, n_text_head=4, n_text_layer=1)
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 100)).astype(np.float32))
+    exact = np.asarray(encode_audio(params, cfg, mel))
+    fast = np.asarray(encode_audio(
+        params, dataclasses.replace(cfg, fast_gelu=True), mel))
+    assert np.abs(exact - fast).max() < 2e-2
+    assert np.sqrt(((exact - fast) ** 2).mean()) < 2e-3
