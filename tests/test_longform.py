@@ -299,3 +299,33 @@ def test_longform_condition_on_previous_prompt_reset(longform_model, tok):
         logprob_threshold=-1e9, no_speech_threshold=2.0,
     )
     assert out["segments"]
+
+
+def test_longform_no_speech_skip(longform_model, tok):
+    """Forcing the no-speech gate skips every window: no segments, but the
+    seek loop still terminates (whisper's should_skip branch)."""
+    cfg, params = longform_model
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(int(1.2 * N_SAMPLES)) * 0.1).astype(np.float32)
+    out = transcribe_longform(
+        params, cfg, audio, tok, beam_size=1, temperatures=(0.0,),
+        no_speech_threshold=-1.0,     # every window "silent"
+        logprob_threshold=1e9,        # confidence can never override
+    )
+    assert out["segments"] == []
+    assert out["text"] == ""
+
+
+def test_longform_temperature_fallback_ladder(longform_model, tok):
+    """An impossible compression-ratio gate pushes every window down the
+    ladder to the final temperature rung."""
+    cfg, params = longform_model
+    rng = np.random.default_rng(6)
+    audio = (rng.standard_normal(int(1.2 * N_SAMPLES)) * 0.1).astype(np.float32)
+    out = transcribe_longform(
+        params, cfg, audio, tok, beam_size=1, temperatures=(0.0, 0.7),
+        compression_ratio_threshold=-1.0,  # never acceptable -> fall through
+        logprob_threshold=-1e9, no_speech_threshold=2.0,
+    )
+    assert out["segments"]
+    assert all(s["temperature"] == 0.7 for s in out["segments"])
