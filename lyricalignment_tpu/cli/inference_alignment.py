@@ -103,10 +103,11 @@ def align_records(records, params, mcfg, table, bert, args):
         data_sharding = batch_sharding(mesh)
 
     @jax.jit
-    def forward(params, audio, frame_lengths):
+    def forward(params, audio, frame_lengths, mel_lengths):
         logits, _ = forward_from_audio(params, mcfg, audio,
                                        trim_to_input_length=True,
-                                       frame_lengths=frame_lengths)
+                                       frame_lengths=frame_lengths,
+                                       mel_lengths=mel_lengths)
         return logits
 
     # group indices by bucketed length (header-only peek, no decode)
@@ -127,6 +128,7 @@ def align_records(records, params, mcfg, table, bert, args):
             labels = np.zeros((B, args.max_label_len), np.int32)
             lens = np.ones((B,), np.int32)
             frames = np.ones((B,), np.int32)
+            mel_lens = np.ones((B,), np.int32)
             for j, i in enumerate(group):
                 audio = load_audio_file(records[i].audio_path, args.is_mixture)["speech"]
                 n = min(len(audio), padded_len)
@@ -136,14 +138,17 @@ def align_records(records, params, mcfg, table, bert, args):
                 L = min(len(classes), args.max_label_len)
                 labels[j, :L] = classes[:L]
                 lens[j] = L
-                frames[j] = int(round((n // HOP_LENGTH) / 2.0))
+                mel_lens[j] = n // HOP_LENGTH
+                frames[j] = int(round(mel_lens[j] / 2.0))
 
             audio_dev = jnp.asarray(a)
             frames_dev = jnp.asarray(frames)
+            mel_dev = jnp.asarray(mel_lens)
             if mesh is not None:
                 audio_dev = jax.device_put(audio_dev, data_sharding)
                 frames_dev = jax.device_put(frames_dev, data_sharding)
-            logits = forward(params, audio_dev, frames_dev)
+                mel_dev = jax.device_put(mel_dev, data_sharding)
+            logits = forward(params, audio_dev, frames_dev, mel_dev)
             frames = np.minimum(frames, logits.shape[1])
             on, off = viterbi_align(
                 logits, jnp.asarray(labels), jnp.asarray(lens),

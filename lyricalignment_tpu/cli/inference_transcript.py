@@ -98,6 +98,7 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
 
             out = transcribe_longform(
                 params, wcfg, a, whisper_tok,
+                max_new_tokens=args.max_new_tokens,  # clamped to the ctx cap
                 beam_size=args.beam_size,
                 temperatures=((0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
                               if args.temperature_fallback else (0.0,)),

@@ -182,8 +182,13 @@ def beam_loop(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam search from a primed cache.
 
-    Returns (tokens i32[B, max_new_tokens] of the best beam, rank score
-    f32[B]).
+    Returns (tokens i32[B, max_new_tokens] of the best beam, avg logprob
+    f32[B] of that beam = sum_logprob / num_generated_tokens). Beam
+    SELECTION uses whisper's MaximumLikelihoodRanker (the Google-NMT
+    formula when ``length_penalty`` is set), but the returned score is
+    always the plain average logprob — whisper's quality gates
+    (logprob_threshold) are defined on that scale regardless of the
+    ranking penalty.
     """
     bk = logits0.shape[0]
     k = beam_size
@@ -248,10 +253,11 @@ def beam_loop(
         norm = lengths_f
     else:
         norm = ((5.0 + lengths_f) / 6.0) ** length_penalty
-    avg = sum_lp.reshape(b, k) / norm
-    best = jnp.argmax(avg, axis=1)
-    sel = jnp.arange(b) * k + best
-    return tokens[sel], avg[jnp.arange(b), best]
+    rank = sum_lp.reshape(b, k) / norm
+    best = jnp.argmax(rank, axis=1)
+    rows = jnp.arange(b)
+    avg = sum_lp.reshape(b, k)[rows, best] / lengths_f[rows, best]
+    return tokens[rows * k + best], avg
 
 
 def sample_loop(
@@ -361,8 +367,9 @@ def beam_search(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched beam search.
 
-    Returns (tokens i32[B, max_new_tokens] of the best beam, rank score
-    f32[B] — whisper's MaximumLikelihoodRanker).
+    Returns (tokens i32[B, max_new_tokens] of the best beam, its average
+    logprob f32[B]); selection follows whisper's MaximumLikelihoodRanker
+    (Google-NMT normalization when ``length_penalty`` is given).
     """
     k = beam_size
     _check_context(cfg, prompt.shape[1], max_new_tokens)

@@ -109,17 +109,20 @@ def _greedy_window(params, cfg, xa, prompt, length, sot_index,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "max_new_tokens", "eot", "temperature",
+    "cfg", "max_new_tokens", "eot", "no_speech", "temperature",
     "suppress_ids", "begin_suppress_ids", "ts_begin"))
-def _sample_window(params, cfg, xa, prompt, length, rng, temperature,
-                   max_new_tokens, eot,
+def _sample_window(params, cfg, xa, prompt, length, sot_index, rng,
+                   temperature, max_new_tokens, eot, no_speech,
                    suppress_ids, begin_suppress_ids, ts_begin):
     cache = init_decode_cache(params, cfg, xa, prompt.shape[1] + max_new_tokens)
-    logits, _, cache = prime_decode_cache(params, cfg, prompt, cache, length)
+    logits, aux, cache = prime_decode_cache(
+        params, cfg, prompt, cache, length, aux_index=sot_index)
+    ns_prob = jax.nn.softmax(aux, axis=-1)[:, no_speech]
     process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids,
                              timestamp_rules=True, ts_begin=ts_begin)
-    return sample_loop(params, cfg, logits, cache, process, rng, temperature,
-                       max_new_tokens, eot)
+    tokens, sum_lp = sample_loop(params, cfg, logits, cache, process, rng,
+                                 temperature, max_new_tokens, eot)
+    return tokens, sum_lp, ns_prob
 
 
 def _render(tokenizer, toks: Sequence[int]) -> str:
@@ -161,8 +164,10 @@ def transcribe_longform(
     # static prompt buffer: <|startofprev|> + up to n_ctx//2-1 prev + sot_seq
     max_prev = max(cfg.n_text_ctx // 2 - 1, 0)
     p_max = 1 + max_prev + len(sot_seq) if condition_on_previous_text else len(sot_seq)
-    if max_new_tokens is None:
-        max_new_tokens = min(cfg.n_text_ctx // 2, cfg.n_text_ctx - p_max)
+    ctx_cap = min(cfg.n_text_ctx // 2, cfg.n_text_ctx - p_max)
+    # an explicit max_new_tokens is clamped too: prompt + generation must
+    # never index past the positional-embedding table
+    max_new_tokens = ctx_cap if max_new_tokens is None else min(max_new_tokens, ctx_cap)
     if max_new_tokens < 1:
         raise ValueError(
             f"decoder context {cfg.n_text_ctx} too small for conditioned "
@@ -217,17 +222,15 @@ def transcribe_longform(
                     suppress_ids, begin_suppress_ids, ts_begin)
                 n_gen = max(int((np.asarray(tokens)[0] != eot).sum()) + 1, 1)
                 score = float(sum_lp[0]) / n_gen
-                ns = ns
             else:
                 rng = jax.random.PRNGKey(seed + int(temperature * 10) + seek)
-                tokens, sum_lp = _sample_window(
-                    params, cfg, xa, prompt, length, rng, temperature,
-                    max_new_tokens, eot,
+                tokens, sum_lp, ns = _sample_window(
+                    params, cfg, xa, prompt, length, sot_index, rng,
+                    temperature, max_new_tokens, eot, no_speech,
                     suppress_ids, begin_suppress_ids, ts_begin)
                 n_gen = max(int((np.asarray(tokens)[0] != eot).sum()) + 1, 1)
                 score = float(sum_lp[0]) / n_gen
-                ns = None
-            if ns is not None:
+            if ns_prob is None:
                 ns_prob = float(np.asarray(ns)[0])
 
             toks = [int(t) for t in np.asarray(tokens)[0] if int(t) != eot]
@@ -239,6 +242,10 @@ def transcribe_longform(
             }
             if (cr <= compression_ratio_threshold
                     and score >= logprob_threshold):
+                break
+            # whisper: a confidently-silent window does not retry — the
+            # no-speech gate below will skip it
+            if ns_prob is not None and ns_prob > no_speech_threshold:
                 break
 
         # whisper's no-speech gate: skip silent windows unless the decode

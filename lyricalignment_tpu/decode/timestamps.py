@@ -32,12 +32,13 @@ from typing import Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from lyricalignment_tpu import FRAMES_PER_SECOND
+
 NEG_INF = -1.0e30
 
 # mel frames per decoder timestamp position: N_FRAMES / n_audio_ctx = 2
 INPUT_STRIDE = 2
 TIME_PRECISION = 0.02  # seconds per timestamp index
-FRAMES_PER_SECOND = 100  # mel frames per second (hop 160 @ 16 kHz)
 MAX_INITIAL_TIMESTAMP_INDEX = 50  # whisper default max_initial_timestamp=1.0 s
 
 
@@ -91,12 +92,15 @@ def apply_timestamp_rules(
     mask = mask + jnp.where(i == 0, begin, jnp.zeros_like(begin))[None, :]
 
     logits = logits + mask
-    # 5. timestamp mass beats the best text token -> force a timestamp
+    # 5. timestamp mass beats the best non-timestamp token -> force a
+    # timestamp. whisper compares against max over ALL ids < timestamp_begin
+    # (eot included), not just text ids.
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     ts_lp = jax.nn.logsumexp(
         jnp.where(is_ts_id[None, :], logprobs, NEG_INF), axis=-1)
-    max_text = jnp.max(jnp.where(is_text_id[None, :], logprobs, NEG_INF), axis=-1)
-    force_ts = ts_lp > max_text
+    max_non_ts = jnp.max(
+        jnp.where(is_ts_id[None, :], NEG_INF, logprobs), axis=-1)
+    force_ts = ts_lp > max_non_ts
     return jnp.where(force_ts[:, None] & (ids < ts_begin)[None, :], NEG_INF, logits)
 
 

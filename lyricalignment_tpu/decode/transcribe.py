@@ -136,6 +136,9 @@ def decode_with_fallback(
             text = tokenizer.decode(toks) if tokenizer.has_bpe else " ".join(map(str, toks))
             cr = compression_ratio(text)
             ok = cr <= COMPRESSION_RATIO_THRESHOLD and scores[row] >= LOGPROB_THRESHOLD
+            # whisper: confidently-silent samples do not retry (the
+            # no-speech gate silences them below)
+            ok = ok or ns_prob[sample] > NO_SPEECH_THRESHOLD
             entry = {
                 "tokens": toks, "text": text, "avg_logprob": float(scores[row]),
                 "no_speech_prob": float(ns_prob[sample]),

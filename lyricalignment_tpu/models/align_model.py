@@ -105,6 +105,7 @@ def forward_from_audio(
     dropout_rng: Optional[jax.Array] = None,
     remat: bool = False,
     frame_lengths: Optional[jnp.ndarray] = None,
+    mel_lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Raw padded audio [B, T_samples] -> (align_logits, transcribe_logits).
 
@@ -115,6 +116,11 @@ def forward_from_audio(
     ``frame_lengths`` (i32[B], optional): per-sample true encoder-frame
     counts; masks the GRU recurrences so length-bucketed batches give the
     reference's exact-trim numerics at valid frames.
+
+    ``mel_lengths`` (i32[B], optional): per-sample true mel-frame counts
+    (``n_samples // 160``). Defaults to ``2 * frame_lengths``, which is one
+    frame off when the true mel length is odd — pass it explicitly for
+    exact parity.
     """
     mel = log_mel(audio)  # [B, 80, T_mel] (fused Pallas kernel on TPU)
     if frame_lengths is not None:
@@ -122,9 +128,11 @@ def forward_from_audio(
         # the mel on exact-length audio and zero-pads the *mel* to 30 s
         # (`module/align_model.py:89` pad_or_trim), whereas bucketed audio
         # padding would otherwise leave mel-of-silence values there
+        if mel_lengths is None:
+            mel_lengths = 2 * frame_lengths
         t_idx = jnp.arange(mel.shape[-1])
         mel = jnp.where(
-            t_idx[None, None, :] < 2 * frame_lengths[:, None, None], mel, 0.0)
+            t_idx[None, None, :] < mel_lengths[:, None, None], mel, 0.0)
     t_mel = mel.shape[-1]
 
     if not trim_to_input_length or t_mel == N_FRAMES:

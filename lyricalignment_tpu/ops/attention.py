@@ -57,12 +57,12 @@ def self_attention(q, k, v, sm_scale: float = 1.0):
 
     b, t, h, dh = q.shape
     t_pad = -(-t // _LANE) * _LANE
-    bq = min(_BLOCK_Q, t_pad)
-    bk = min(_BLOCK_K, t_pad)
-    while t_pad % bq:
-        bq //= 2
-    while t_pad % bk:
-        bk //= 2
+    # largest lane-multiple divisor of t_pad up to the tuned block size —
+    # t_pad is always a multiple of 128, so this never degrades below 128
+    bq = max(d for d in range(_LANE, min(_BLOCK_Q, t_pad) + 1, _LANE)
+             if t_pad % d == 0)
+    bk = max(d for d in range(_LANE, min(_BLOCK_K, t_pad) + 1, _LANE)
+             if t_pad % d == 0)
     block_sizes = BlockSizes(
         block_q=bq, block_k_major=t_pad, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=t_pad,

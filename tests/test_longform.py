@@ -329,3 +329,45 @@ def test_longform_temperature_fallback_ladder(longform_model, tok):
     )
     assert out["segments"]
     assert all(s["temperature"] == 0.7 for s in out["segments"])
+
+
+def test_rule5_timestamp_mass_compares_against_eot(tok):
+    """Rule 5 compares timestamp mass against the best NON-TIMESTAMP token
+    (eot included), exactly as whisper — not just text tokens."""
+    from lyricalignment_tpu.decode.timestamps import apply_timestamp_rules
+
+    V = tok.n_vocab
+    ts0 = tok.timestamp_begin
+    n_ts = V - ts0
+    logits = np.full((1, V), -10.0, np.float32)
+    logits[0, 5] = 2.0                      # best text token
+    logits[0, tok.eot] = 4.0                # best non-timestamp overall
+    # timestamp mass ~ 3.0: above best text, below eot
+    logits[0, ts0:] = 3.0 - np.log(n_ts)
+    gen = np.full((1, 8), 5, np.int32)      # prior text token; i=1
+
+    out = np.asarray(apply_timestamp_rules(
+        jnp.asarray(logits), jnp.asarray(gen), jnp.asarray(1),
+        ts_begin=ts0, eot=tok.eot))
+    assert out[0, 5] > -1e29, "text wrongly suppressed: eot ignored in rule 5"
+
+    # with eot low, the force fires and text IS suppressed
+    logits[0, tok.eot] = -10.0
+    out2 = np.asarray(apply_timestamp_rules(
+        jnp.asarray(logits), jnp.asarray(gen), jnp.asarray(1),
+        ts_begin=ts0, eot=tok.eot))
+    assert out2[0, 5] < -1e29
+
+
+def test_longform_explicit_max_new_tokens_clamped(longform_model, tok):
+    """An oversized explicit max_new_tokens must be clamped to the context
+    cap instead of silently overflowing the positional table."""
+    cfg, params = longform_model
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal(int(1.1 * N_SAMPLES)) * 0.1).astype(np.float32)
+    out = transcribe_longform(
+        params, cfg, audio, tok, beam_size=1, temperatures=(0.0,),
+        max_new_tokens=10_000,
+        logprob_threshold=-1e9, no_speech_threshold=2.0,
+    )
+    assert out["segments"]
