@@ -73,8 +73,12 @@ def main():
             TrainConfig, init_train_state, make_train_step)
 
         mcfg_t = dataclasses.replace(mcfg, train_transcript=True)
+        # medium at the reference recipe (batch 2 x accum 8) fits HBM
+        # without rematerialisation and runs ~17% faster; set
+        # BENCH_TRAIN_REMAT=1 for larger models/batches
+        remat = os.environ.get("BENCH_TRAIN_REMAT", "0") != "0"
         tcfg = TrainConfig(accum_grad_steps=8, use_ctc=True, vocab_size=21128,
-                           remat=True, grad_accum_dtype=jnp.bfloat16,
+                           remat=remat, grad_accum_dtype=jnp.bfloat16,
                            adam_mu_dtype=jnp.bfloat16)
         state, tx = init_train_state(params, tcfg)
         step_fn = make_train_step(mcfg_t, tcfg, tx)
