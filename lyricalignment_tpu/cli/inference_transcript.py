@@ -64,6 +64,11 @@ def parse_args():
     p.add_argument("--language", type=str, default="zh")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--seed", type=int, default=114514)
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard the batched (<= 30 s) transcription path "
+                        "over N chips; batch-size must be divisible by N")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-shard the whisper backbone over N chips")
     add_asset_args(p)
     return p.parse_args()
 
@@ -81,6 +86,30 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
         tuple(whisper_tok.encode(" ")) + (whisper_tok.eot,)
         if whisper_tok.has_bpe else ()
     )
+
+    # optional multi-chip batched transcription: params TP-sharded /
+    # replicated on a mesh, window batches sharded over the data axis;
+    # GSPMD propagates shardings through encode + the decode while_loop
+    mesh = None
+    mesh_data = getattr(args, "mesh_data", 0)
+    mesh_model = getattr(args, "mesh_model", 1)
+    if mesh_data or mesh_model > 1:
+        from lyricalignment_tpu.parallel.mesh import (
+            batch_sharding,
+            make_mesh,
+            shard_align_params,
+        )
+
+        n_dev = (mesh_data or (len(jax.devices()) // mesh_model)) * mesh_model
+        mesh = make_mesh(data=mesh_data or -1, model=mesh_model,
+                         devices=jax.devices()[:n_dev])
+        if args.batch_size % mesh.shape["data"]:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} not divisible by the data "
+                f"axis ({mesh.shape['data']})")
+        params = shard_align_params({"whisper": params, "align_head": {}},
+                                    mesh, tp=mesh_model > 1)["whisper"]
+        data_sharding = batch_sharding(mesh)
 
     @jax.jit
     def encode(params, audio):
@@ -122,8 +151,16 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
     for i in range(0, len(work), bs):
         chunk = work[i: i + bs]
         audio = np.stack([w[2] for w in chunk])
-        xa = encode(params, jnp.asarray(audio))
-        prompt = jnp.asarray(np.tile(prompt_ids, (len(chunk), 1)).astype(np.int32))
+        if mesh is not None and audio.shape[0] < bs:
+            # keep shards equal-sized; pad rows are dropped by the zips below
+            audio = np.concatenate(
+                [audio, np.zeros((bs - audio.shape[0], audio.shape[1]),
+                                 np.float32)])
+        audio_dev = jnp.asarray(audio)
+        if mesh is not None:
+            audio_dev = jax.device_put(audio_dev, data_sharding)
+        xa = encode(params, audio_dev)
+        prompt = jnp.asarray(np.tile(prompt_ids, (audio.shape[0], 1)).astype(np.int32))
         if args.temperature_fallback:
             from lyricalignment_tpu.decode.transcribe import decode_with_fallback
 

@@ -69,3 +69,40 @@ def test_mesh_batch_divisibility_enforced(setup):
     mcfg, params, records = setup
     with pytest.raises(SystemExit, match="divisible"):
         _run(mcfg, params, records[:2], mesh_data=3, mesh_model=1)
+
+
+def test_mesh_transcribe_matches_single(tmp_path):
+    """Batched transcription sharded DP4xTP2 must emit the same tokens as
+    the single-device run (exercises the pad-to-batch path: 2 windows in a
+    batch of 4)."""
+    from tests.test_longform import TinyTokenizer
+
+    from lyricalignment_tpu.cli.inference_transcript import transcribe_records
+    from lyricalignment_tpu.models.whisper import init_whisper_params
+
+    tok = TinyTokenizer()
+    cfg = WhisperConfig(n_mels=80, n_vocab=tok.n_vocab, n_audio_ctx=1500,
+                        n_audio_state=32, n_audio_head=4, n_audio_layer=1,
+                        n_text_ctx=64, n_text_state=32, n_text_head=4,
+                        n_text_layer=1)
+    params = init_whisper_params(jax.random.PRNGKey(5), cfg)
+
+    rng = np.random.default_rng(2)
+    records = []
+    for i in range(2):
+        wav = str(tmp_path / f"t{i}.wav")
+        write_wav(wav, (rng.standard_normal(4 * 16000) * 0.1).astype(np.float32))
+        records.append(Record(audio_path=wav, text=""))
+
+    def run(**mesh_kwargs):
+        args = SimpleNamespace(
+            is_mixture=0, batch_size=4, beam_size=2, max_new_tokens=8,
+            use_groundtruth=False, temperature_fallback=False,
+            fast_windows=False, length_penalty=None,
+            no_condition_on_previous_text=False, seed=0, **mesh_kwargs)
+        return [r["inference"] for r in transcribe_records(
+            records, params, cfg, tok, args)]
+
+    single = run()
+    meshed = run(mesh_data=4, mesh_model=2)
+    assert single == meshed
