@@ -77,12 +77,15 @@ def build_model_config(
     freeze_encoder: bool = False,
     train_alignment: bool = True,
     train_transcript: bool = False,
+    fast_gelu: bool = False,
 ) -> AlignModelConfig:
     import jax.numpy as jnp
 
     wcfg = WHISPER_CONFIGS[whisper_model]
     if use_bf16:
         wcfg = dataclasses.replace(wcfg, compute_dtype=jnp.bfloat16)
+    if fast_gelu:
+        wcfg = dataclasses.replace(wcfg, fast_gelu=True)
     return AlignModelConfig(
         whisper=wcfg,
         hidden_dim=384,
@@ -113,6 +116,7 @@ def init_params(args, mcfg: AlignModelConfig, seed: int):
 
 def load_model_dir(
     model_dir: str, model_name: str = "best", use_bf16: bool = False,
+    fast_gelu: bool = False,
 ) -> Tuple[AlignModelConfig, Any, Dict]:
     """Load a trained model dir (args.json + model_args.json + checkpoints).
 
@@ -127,6 +131,7 @@ def load_model_dir(
         train_args["whisper_model"],
         output_dim=model_args["output_dim"],
         use_bf16=use_bf16,
+        fast_gelu=fast_gelu,
         freeze_encoder=model_args.get("freeze_encoder", False),
         train_alignment=model_args.get("train_alignment", True),
         train_transcript=model_args.get("train_transcript", False),

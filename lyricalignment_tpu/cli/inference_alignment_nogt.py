@@ -28,6 +28,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=114514)
     p.add_argument("--bucket-seconds", type=float, default=5.0)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fast-gelu", action="store_true",
+                   help="tanh-approximate encoder GELU (error below "
+                        "bf16 rounding); ~15%% faster encoder on TPU")
     p.add_argument("--max-label-len", type=int, default=128)
     p.add_argument("-o", "--output", type=str, default=None,
                    help="optional JSON output path")
@@ -41,7 +44,7 @@ def main():
     assert os.path.exists(args.model_dir)
     assert os.path.exists(args.test_data)
 
-    mcfg, params, _ = load_model_dir(args.model_dir, args.model_name, use_bf16=args.bf16)
+    mcfg, params, _ = load_model_dir(args.model_dir, args.model_name, use_bf16=args.bf16, fast_gelu=args.fast_gelu)
     bert, _ = build_tokenizers(args)
     table = load_pronunciation_table()
     records = read_data(args.test_data)

@@ -63,6 +63,9 @@ def parse_args():
                         "previous window's text")
     p.add_argument("--language", type=str, default="zh")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fast-gelu", action="store_true",
+                   help="tanh-approximate encoder GELU (error below "
+                        "bf16 rounding); ~15%% faster encoder on TPU")
     p.add_argument("--seed", type=int, default=114514)
     p.add_argument("--mesh-data", type=int, default=0,
                    help="shard the batched (<= 30 s) transcription path "
@@ -225,7 +228,7 @@ def main():
     )
 
     if os.path.exists(args.model_dir) and not args.use_pretrained:
-        mcfg, align_params, _ = load_model_dir(args.model_dir, "best", use_bf16=args.bf16)
+        mcfg, align_params, _ = load_model_dir(args.model_dir, "best", use_bf16=args.bf16, fast_gelu=args.fast_gelu)
         wcfg, params = mcfg.whisper, align_params["whisper"]
     elif args.whisper_checkpoint:
         from lyricalignment_tpu.models.convert import load_openai_checkpoint

@@ -81,6 +81,9 @@ def parse_args():
     p.add_argument("--mesh-data", type=int, default=0)
     p.add_argument("--mesh-model", type=int, default=1)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fast-gelu", action="store_true",
+                   help="tanh-approximate encoder GELU (error below "
+                        "bf16 rounding); ~15%% faster encoder on TPU")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--bf16-grad-accum", action="store_true",
                    help="accumulate micro-batch grads in bf16 (fits medium "
@@ -120,6 +123,7 @@ def main():
         freeze_encoder=args.freeze_encoder,
         train_alignment=args.train_alignment,
         train_transcript=args.train_transcript,
+        fast_gelu=args.fast_gelu,
     )
     model_args = {
         "embed_dim": mcfg.whisper.n_audio_state,
