@@ -32,11 +32,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from lyricalignment_tpu.models.align_head import align_head_apply
+    from lyricalignment_tpu.models.align_head import align_head_hidden
     from lyricalignment_tpu.models.align_model import AlignModelConfig, init_align_model
     from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS, encode_audio
     from lyricalignment_tpu.ops.mel import log_mel, pad_or_trim
-    from lyricalignment_tpu.ops.viterbi import frames_to_seconds, viterbi_align
+    from lyricalignment_tpu.ops.viterbi import frames_to_seconds, viterbi_align_fused
     from lyricalignment_tpu import N_FRAMES
 
     model_name = os.environ.get("BENCH_MODEL", "medium")
@@ -58,9 +58,11 @@ def main():
     def align_batch(params, audio, labels, num_labels):
         mel = pad_or_trim(log_mel(audio), N_FRAMES)
         embed = encode_audio(params["whisper"], mcfg.whisper, mel)
-        logits = align_head_apply(params["align_head"], embed)
-        t = jnp.full((audio.shape[0],), logits.shape[1], jnp.int32)
-        on, off = viterbi_align(logits, labels, num_labels, t, mode="ctc")
+        # fused classifier->Viterbi: the [B, T, 21129] logits never hit HBM
+        h = align_head_hidden(params["align_head"], embed)
+        t = jnp.full((audio.shape[0],), h.shape[1], jnp.int32)
+        on, off = viterbi_align_fused(h, params["align_head"]["fc"],
+                                      labels, num_labels, t, mode="ctc")
         return frames_to_seconds(on, off)
 
     rng = np.random.default_rng(0)

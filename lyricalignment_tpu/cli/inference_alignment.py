@@ -28,7 +28,11 @@ from lyricalignment_tpu.cli.common import add_asset_args, build_tokenizers, load
 from lyricalignment_tpu.data.audio_io import load_audio_file
 from lyricalignment_tpu.data.records import read_data
 from lyricalignment_tpu.models.align_model import forward_from_audio
-from lyricalignment_tpu.ops.viterbi import frames_to_seconds, viterbi_align
+from lyricalignment_tpu.ops.viterbi import (
+    frames_to_seconds,
+    viterbi_align,
+    viterbi_align_fused,
+)
 from lyricalignment_tpu.text.pinyin import load_pronunciation_table
 from lyricalignment_tpu.utils.metrics import mae
 
@@ -49,6 +53,9 @@ def parse_args():
                    help="tanh-approximate encoder GELU (error below "
                         "bf16 rounding); ~15%% faster encoder on TPU")
     p.add_argument("--max-label-len", type=int, default=128)
+    p.add_argument("--no-fused-align", action="store_true",
+                   help="materialise the full [B, T, 21129] logits instead "
+                        "of the fused classifier->Viterbi emission path")
     p.add_argument("--mesh-data", type=int, default=0,
                    help="shard inference batches over N chips (data "
                         "parallel; 0 = single device). batch-size must be "
@@ -105,13 +112,21 @@ def align_records(records, params, mcfg, table, bert, args):
         params = shard_align_params(params, mesh, tp=mesh_model > 1)
         data_sharding = batch_sharding(mesh)
 
+    # fused path: forward returns the pre-classifier hidden and the Viterbi
+    # computes emissions chunk-wise from the fc weights, so the
+    # [B, T, 21129] logits never hit HBM (--no-fused-align restores the
+    # materialised-logits path)
+    fused = not getattr(args, "no_fused_align", False)
+    head_output = "hidden" if fused else "logits"
+
     @jax.jit
     def forward(params, audio, frame_lengths, mel_lengths):
-        logits, _ = forward_from_audio(params, mcfg, audio,
-                                       trim_to_input_length=True,
-                                       frame_lengths=frame_lengths,
-                                       mel_lengths=mel_lengths)
-        return logits
+        out, _ = forward_from_audio(params, mcfg, audio,
+                                    trim_to_input_length=True,
+                                    frame_lengths=frame_lengths,
+                                    mel_lengths=mel_lengths,
+                                    align_head_output=head_output)
+        return out
 
     # group indices by bucketed length (header-only peek, no decode)
     buckets = {}
@@ -151,12 +166,18 @@ def align_records(records, params, mcfg, table, bert, args):
                 audio_dev = jax.device_put(audio_dev, data_sharding)
                 frames_dev = jax.device_put(frames_dev, data_sharding)
                 mel_dev = jax.device_put(mel_dev, data_sharding)
-            logits = forward(params, audio_dev, frames_dev, mel_dev)
-            frames = np.minimum(frames, logits.shape[1])
-            on, off = viterbi_align(
-                logits, jnp.asarray(labels), jnp.asarray(lens),
-                jnp.asarray(frames), mode=mode,
-            )
+            out = forward(params, audio_dev, frames_dev, mel_dev)
+            frames = np.minimum(frames, out.shape[1])
+            if fused:
+                on, off = viterbi_align_fused(
+                    out, params["align_head"]["fc"], jnp.asarray(labels),
+                    jnp.asarray(lens), jnp.asarray(frames), mode=mode,
+                )
+            else:
+                on, off = viterbi_align(
+                    out, jnp.asarray(labels), jnp.asarray(lens),
+                    jnp.asarray(frames), mode=mode,
+                )
             sec = np.asarray(frames_to_seconds(on, off))
             for j, i in enumerate(group):
                 L = int(lens[j])

@@ -42,6 +42,21 @@ def init_align_head(
     }
 
 
+def align_head_hidden(
+    params: Params,
+    x: jnp.ndarray,
+    dropout: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    lengths: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """x [B, T, D] encoder frames -> pre-classifier hidden f32[B, T, fc_in]
+    (bi-GRU -> Mish, before the fc). Feed to ``viterbi_align_fused`` to
+    align without materialising the [B, T, 21129] logits."""
+    h = bigru_apply(params["gru"], x, dropout=dropout, rng=rng, lengths=lengths)
+    # classifier input in f32: logits feed CE/CTC losses directly
+    return mish(h).astype(jnp.float32)
+
+
 def align_head_apply(
     params: Params,
     x: jnp.ndarray,
@@ -53,7 +68,5 @@ def align_head_apply(
 
     ``lengths`` (i32[B]) masks the GRU recurrences to true frame counts so
     bucketed/padded batches produce exact-trim logits at valid positions."""
-    h = bigru_apply(params["gru"], x, dropout=dropout, rng=rng, lengths=lengths)
-    h = mish(h)
-    # final classifier in f32: logits feed CE/CTC losses directly
-    return h.astype(jnp.float32) @ params["fc"]["w"] + params["fc"]["b"]
+    h = align_head_hidden(params, x, dropout=dropout, rng=rng, lengths=lengths)
+    return h @ params["fc"]["w"] + params["fc"]["b"]

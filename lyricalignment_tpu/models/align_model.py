@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from lyricalignment_tpu import EMBED_FRAMES, N_FRAMES
-from lyricalignment_tpu.models.align_head import align_head_apply, init_align_head
+from lyricalignment_tpu.models.align_head import (
+    align_head_apply,
+    align_head_hidden,
+    init_align_head,
+)
 from lyricalignment_tpu.models.whisper import (
     WhisperConfig,
     decoder_logits,
@@ -106,8 +110,13 @@ def forward_from_audio(
     remat: bool = False,
     frame_lengths: Optional[jnp.ndarray] = None,
     mel_lengths: Optional[jnp.ndarray] = None,
+    align_head_output: str = "logits",
 ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Raw padded audio [B, T_samples] -> (align_logits, transcribe_logits).
+
+    ``align_head_output="hidden"`` returns the pre-classifier hidden states
+    in the align slot instead of logits — feed to ``viterbi_align_fused``
+    so the [B, T, 21129] logit tensor is never materialised.
 
     ``trim_to_input_length=False`` reproduces training behavior (pad/trim to
     one 30 s window, keep all 1500 frames, `module/align_model.py:108-115`);
@@ -170,7 +179,9 @@ def forward_from_audio(
 
     align_logits = None
     if cfg.train_alignment:
-        align_logits = align_head_apply(
+        head_fn = (align_head_hidden if align_head_output == "hidden"
+                   else align_head_apply)
+        align_logits = head_fn(
             params["align_head"], align_embed, dropout=cfg.dropout,
             rng=dropout_rng, lengths=frame_lengths
         )

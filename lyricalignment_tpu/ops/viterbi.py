@@ -82,15 +82,43 @@ def _viterbi_single(
     num_frames: jnp.ndarray,      # i32 scalar: true T
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (onset_frames i32[L_max], offset_frames i32[L_max])."""
-    t_max = label_logprob.shape[0]
+    l_max = labels.shape[0]
+    char_idx = jnp.arange(2 * l_max + 1) // 2      # label index for odd states
+    # per-state emission columns: odd -> labels[k//2], even -> silence
+    label_cols = labels[jnp.clip(char_idx, 0, l_max - 1)]
+    em_lab = label_logprob[:, label_cols]          # [T, K]
+    return _viterbi_dp(em_lab, sil_logprob, labels, num_labels, num_frames)
+
+
+def _viterbi_single_pos(
+    pos_logprob: jnp.ndarray,     # [T, L_max] log-probs, per label *position*
+    sil_logprob: jnp.ndarray,     # [T]
+    labels: jnp.ndarray,          # i32[L_max], padded with 0
+    num_labels: jnp.ndarray,
+    num_frames: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same DP on pre-gathered (per label position) emissions — the fused
+    classifier path produces [T, L] directly without a [T, C] table."""
+    l_max = labels.shape[0]
+    char_idx = jnp.arange(2 * l_max + 1) // 2
+    em_lab = pos_logprob[:, jnp.clip(char_idx, 0, l_max - 1)]  # [T, K]
+    return _viterbi_dp(em_lab, sil_logprob, labels, num_labels, num_frames)
+
+
+def _viterbi_dp(
+    em_lab: jnp.ndarray,          # [T, K] per-state label emissions
+    sil_logprob: jnp.ndarray,     # [T]
+    labels: jnp.ndarray,          # i32[L_max]
+    num_labels: jnp.ndarray,
+    num_frames: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    t_max = em_lab.shape[0]
     l_max = labels.shape[0]
     k_dim = 2 * l_max + 1
 
     state_idx = jnp.arange(k_dim)
     is_odd = (state_idx % 2) == 1
-    char_idx = state_idx // 2                      # label index for odd states
-    # per-state emission columns: odd -> labels[k//2], even -> silence
-    label_cols = labels[jnp.clip(char_idx, 0, l_max - 1)]
+    char_idx = state_idx // 2
 
     # skip-transition legality per odd state: label differs from previous
     prev_char = jnp.clip(char_idx - 1, 0, l_max - 1)
@@ -98,7 +126,6 @@ def _viterbi_single(
     can_skip = is_odd & (state_idx >= 3) & label_differs
 
     # emissions per (t, k): [T, K]
-    em_lab = label_logprob[:, label_cols]          # [T, K]
     em = jnp.where(is_odd[None, :], em_lab, sil_logprob[:, None])
 
     # init row (reference `utils/alignment.py:35-36`)
@@ -178,6 +205,117 @@ def viterbi_align(
     else:
         raise ValueError(f"unknown mode: {mode}")
     return jax.vmap(_viterbi_single)(lab_lp, sil_lp, labels, num_labels, num_frames)
+
+
+def _chunked_lse(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                 chunk: int = 4224) -> jnp.ndarray:
+    """logsumexp over the columns of ``h @ w + b`` without materialising the
+    [B, T, C] logits: an online (flash-softmax style) running max/sum over
+    column chunks, each chunk a [B*T, F] x [F, chunk] MXU matmul.
+
+    h f32[B, T, F], w [F, C], b [C] -> f32[B, T].
+    """
+    f_dim, c_dim = w.shape
+    n = -(-c_dim // chunk)
+    pad = n * chunk - c_dim
+    wp = jnp.pad(w, ((0, 0), (0, pad)))
+    # padding columns contribute exp(NEG_INF - max) == 0 to the sum
+    bp = jnp.pad(b, (0, pad), constant_values=NEG_INF)
+    ws = wp.reshape(f_dim, n, chunk).transpose(1, 0, 2)   # [n, F, chunk]
+    bs = bp.reshape(n, chunk)
+
+    def step(carry, wb):
+        m, s = carry
+        wc, bc = wb
+        lg = h @ wc + bc                                   # [B, T, chunk]
+        cm = jnp.max(lg, axis=-1)
+        nm = jnp.maximum(m, cm)
+        s = s * jnp.exp(m - nm) + jnp.sum(jnp.exp(lg - nm[..., None]), axis=-1)
+        return (nm, s), None
+
+    m0 = jnp.full(h.shape[:-1], NEG_INF, jnp.float32)
+    s0 = jnp.zeros(h.shape[:-1], jnp.float32)
+    (m, s), _ = jax.lax.scan(step, (m0, s0), (ws, bs))
+    return m + jnp.log(s)
+
+
+def _gather_label_logits(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                         labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-position label-column logits [B, T, L]: gather the L needed fc
+    weight *rows* from w.T (major-dim gather) and contract with h."""
+    w_cols = jnp.take(w.T, labels, axis=0)                 # [B, L, F]
+    b_cols = jnp.take(b, labels, axis=0)                   # [B, L]
+    return jnp.einsum("btf,blf->btl", h, w_cols) + b_cols[:, None, :]
+
+
+def ce_emissions_fused(h: jnp.ndarray, fc: dict, labels: jnp.ndarray,
+                       chunk: int = 4224) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``ce_emissions(h @ w + b)`` gathered to label positions, fused so the
+    [B, T, C] logits never hit HBM. h f32[B, T, F] is the pre-classifier
+    hidden (``align_head_hidden``); fc = {"w": [F, C], "b": [C]}.
+
+    Returns (label_logprob [B, T, L] per label *position*, silence [B, T]).
+    """
+    w, b = fc["w"], fc["b"]
+    lse = _chunked_lse(h, w, b, chunk)                     # [B, T]
+    gathered = _gather_label_logits(h, w, b, labels)       # [B, T, L]
+    sil = h @ w[:, 0] + b[0]                               # [B, T]
+    lab_lp = jnp.maximum(gathered - lse[..., None], CLIP_MIN)
+    sil_lp = jnp.maximum(sil - lse, CLIP_MIN)
+    return lab_lp, sil_lp
+
+
+def ctc_emissions_fused(h: jnp.ndarray, fc: dict, labels: jnp.ndarray,
+                        chunk: int = 4224) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``ctc_emissions(h @ w + b)`` gathered to label positions, fused.
+
+    CTC head layout (`utils/alignment.py:121-134`): column 0 is the CTC
+    blank, 1..C-2 the syllable classes, C-1 the sigmoid silence detector;
+    the log-softmax runs over the syllable columns only. Label values index
+    the original columns directly (label l -> column l), so the gather uses
+    ``labels`` unchanged; 0-padded label positions gather the blank column,
+    which the DP never reads (states beyond 2*num_labels are unreachable
+    from the end state).
+    """
+    w, b = fc["w"], fc["b"]
+    lse = _chunked_lse(h, w[:, 1:-1], b[1:-1], chunk)      # [B, T]
+    gathered = _gather_label_logits(h, w, b, labels)       # [B, T, L]
+    sil_logit = h @ w[:, -1] + b[-1]                       # [B, T]
+    # log(sigmoid(x)) = -softplus(-x); log(1-sigmoid(x)) = -softplus(x)
+    log_sil = -jax.nn.softplus(-sil_logit)
+    log_voiced = -jax.nn.softplus(sil_logit)
+    word = gathered - lse[..., None] + log_voiced[..., None]
+    return jnp.maximum(word, CLIP_MIN), jnp.maximum(log_sil, CLIP_MIN)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "chunk"))
+def viterbi_align_fused(
+    h: jnp.ndarray,            # f32[B, T, F] pre-classifier hidden
+    fc_params: dict,           # {"w": [F, C], "b": [C]} — align head fc
+    labels: jnp.ndarray,       # i32[B, L_max], 0-padded
+    num_labels: jnp.ndarray,   # i32[B]
+    num_frames: jnp.ndarray,   # i32[B]
+    mode: str = "ce",
+    chunk: int = 4224,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``viterbi_align`` fused with the final classifier.
+
+    Takes the pre-fc hidden states (``align_head_hidden``) and the fc
+    weights instead of the [B, T, 21129] logits: the class log-softmax
+    normaliser is computed as an online logsumexp over weight-column chunks
+    and only the L label columns are ever materialised, removing the two
+    dominant HBM streams of the unfused path (the 1 GB logit write and the
+    full-vocab softmax read). Numerically identical to
+    ``viterbi_align(align_head_apply(...), ...)`` up to f32 reduction
+    ordering.
+    """
+    if mode == "ce":
+        lab_lp, sil_lp = ce_emissions_fused(h, fc_params, labels, chunk)
+    elif mode == "ctc":
+        lab_lp, sil_lp = ctc_emissions_fused(h, fc_params, labels, chunk)
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    return jax.vmap(_viterbi_single_pos)(lab_lp, sil_lp, labels, num_labels, num_frames)
 
 
 def frames_to_seconds(
