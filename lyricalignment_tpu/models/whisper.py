@@ -256,6 +256,28 @@ def _encoder_block(block: Params, x: jnp.ndarray, n_head: int,
     return x
 
 
+def _encoder_stem(enc: Params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """Conv frontend + positional embedding: mel [B, n_mels, T_mel] ->
+    [B, T_mel//2, D] transformer input."""
+    dtype = cfg.compute_dtype
+    x = mel.astype(dtype)
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, enc["conv1"]["w"].shape, ("NCH", "OIH", "NCH"))
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1"]["w"].astype(dtype), (1,), [(1, 1)], dimension_numbers=dn
+    ) + enc["conv1"]["b"].astype(dtype)[None, :, None]
+    x = jax.nn.gelu(x, approximate=cfg.fast_gelu)
+    dn2 = jax.lax.conv_dimension_numbers(x.shape, enc["conv2"]["w"].shape, ("NCH", "OIH", "NCH"))
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2"]["w"].astype(dtype), (2,), [(1, 1)], dimension_numbers=dn2
+    ) + enc["conv2"]["b"].astype(dtype)[None, :, None]
+    x = jax.nn.gelu(x, approximate=cfg.fast_gelu)
+
+    x = x.transpose(0, 2, 1)  # [B, T, D]
+    pos = sinusoid_position_embedding(cfg.n_audio_ctx, cfg.n_audio_state)
+    return x + jnp.asarray(pos, dtype=dtype)[None, : x.shape[1]]
+
+
 def encode_audio(
     params: Params,
     cfg: WhisperConfig,
@@ -274,23 +296,7 @@ def encode_audio(
     a mesh axis and XLA inserts the K/V all-gathers for attention.
     """
     enc = params["encoder"]
-    dtype = cfg.compute_dtype
-    x = mel.astype(dtype)
-
-    dn = jax.lax.conv_dimension_numbers(x.shape, enc["conv1"]["w"].shape, ("NCH", "OIH", "NCH"))
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv1"]["w"].astype(dtype), (1,), [(1, 1)], dimension_numbers=dn
-    ) + enc["conv1"]["b"].astype(dtype)[None, :, None]
-    x = jax.nn.gelu(x, approximate=cfg.fast_gelu)
-    dn2 = jax.lax.conv_dimension_numbers(x.shape, enc["conv2"]["w"].shape, ("NCH", "OIH", "NCH"))
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv2"]["w"].astype(dtype), (2,), [(1, 1)], dimension_numbers=dn2
-    ) + enc["conv2"]["b"].astype(dtype)[None, :, None]
-    x = jax.nn.gelu(x, approximate=cfg.fast_gelu)
-
-    x = x.transpose(0, 2, 1)  # [B, T, D]
-    pos = sinusoid_position_embedding(cfg.n_audio_ctx, cfg.n_audio_state)
-    x = x + jnp.asarray(pos, dtype=dtype)[None, : x.shape[1]]
+    x = _encoder_stem(enc, cfg, mel)
 
     block_fn = _encoder_block
     if remat:
