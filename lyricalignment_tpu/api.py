@@ -71,13 +71,27 @@ class LyricAligner:
 
     def align(self, audio_path: str, lyric: str) -> List[list]:
         """Forced-align one song: [[onset_s, offset_s, char], ...]."""
+        return self.align_many([(audio_path, lyric)])[0]
+
+    def align_many(self, requests: Sequence[Sequence[str]]) -> List[List[list]]:
+        """Forced-align a batch of ``(audio_path, lyric)`` pairs in one
+        device pass (length-bucketed, one jit compile per bucket) — the
+        serving-throughput path: a batch shares each encoder/Viterbi
+        launch instead of paying one device round-trip per request.
+
+        Returns one ``[[onset_s, offset_s, char], ...]`` list per request,
+        in input order.
+        """
         from lyricalignment_tpu.cli.inference_alignment import align_records
         from lyricalignment_tpu.data.records import Record
 
-        record = Record(audio_path=audio_path, text=lyric)
-        (_, segments), = align_records(
-            [record], self.params, self.mcfg, self.table, self.bert, self._cli_args())
-        return [[on, off, ch] for (on, off), ch in zip(segments, lyric)]
+        records = [Record(audio_path=p, text=t) for p, t in requests]
+        args = self._cli_args()
+        args.batch_size = max(1, len(records))
+        out = list(align_records(
+            records, self.params, self.mcfg, self.table, self.bert, args))
+        return [[[on, off, ch] for (on, off), ch in zip(segments, record.text)]
+                for record, segments in out]
 
     def mae(self, audio_path: str, lyric: str,
             ground_truth: Sequence[Sequence[float]]) -> float:

@@ -10,6 +10,15 @@ Response: {"song_path": ..., "alignment": [[on, off, char], ...]}
           {"song_path": ..., "inference": "..."}
           {"song_path": ..., "error": "..."} on failure
 
+Continuous batching: a reader thread feeds a queue; the serve loop drains
+up to ``--max-batch`` queued requests per iteration (waiting at most
+``--batch-window-ms`` after the first) and runs all alignment requests of
+the batch through ONE device pass (``LyricAligner.align_many`` — length-
+bucketed, shared encoder/Viterbi launches). With the default window of 0
+no latency is added: batches only form under backlog, which is exactly
+when throughput matters. Per-request errors never take down the batch —
+a failing batch falls back to per-request processing.
+
 Usage:
     python -m lyricalignment_tpu.cli.serve --model-dir result \
         --use-ctc-loss --bert-vocab vocab.txt [--whisper-bpe ranks.tiktoken]
@@ -19,7 +28,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import queue
 import sys
+import threading
+import time
 
 from lyricalignment_tpu.cli.common import add_asset_args
 
@@ -33,32 +45,103 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--bucket-seconds", type=float, default=5.0)
     p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="max queued alignment requests fused into one "
+                        "device batch")
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="after the first request of a batch, wait up to "
+                        "this long for more (0 = only drain the backlog)")
     add_asset_args(p)
     return p.parse_args(argv)
+
+
+def _handle_one(aligner, args, req):
+    """Process a single parsed request (also the batch-failure fallback)."""
+    try:
+        if not isinstance(req, dict):
+            raise ValueError("request must be a JSON object")
+        path = req["song_path"]
+        if req.get("task") == "transcribe":
+            text = aligner.transcribe(
+                path, whisper_bpe=args.whisper_bpe, beam_size=args.beam_size)
+            return {"song_path": path, "inference": text}
+        segments = aligner.align(path, req["lyric"])
+        return {"song_path": path, "alignment": segments}
+    except Exception as e:  # keep serving on per-request failures
+        return {"song_path": req.get("song_path") if isinstance(req, dict) else None,
+                "error": f"{type(e).__name__}: {e}"}
+
+
+def _reader(stdin, q):
+    for line in stdin:
+        q.put(line)
+    q.put(None)
 
 
 def serve(aligner, args, stdin=None, stdout=None):
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
-    for line in stdin:
-        line = line.strip()
-        if not line:
-            continue
-        req = None
-        try:
-            req = json.loads(line)
-            path = req["song_path"]
-            if req.get("task") == "transcribe":
-                text = aligner.transcribe(
-                    path, whisper_bpe=args.whisper_bpe, beam_size=args.beam_size)
-                resp = {"song_path": path, "inference": text}
-            else:
-                segments = aligner.align(path, req["lyric"])
-                resp = {"song_path": path, "alignment": segments}
-        except Exception as e:  # keep serving on per-request failures
-            resp = {"song_path": req.get("song_path") if isinstance(req, dict) else None,
-                    "error": f"{type(e).__name__}: {e}"}
-        stdout.write(json.dumps(resp, ensure_ascii=False) + "\n")
+    max_batch = max(1, getattr(args, "max_batch", 1))
+    window_s = max(0.0, getattr(args, "batch_window_ms", 0.0)) / 1000.0
+
+    q = queue.Queue()
+    threading.Thread(target=_reader, args=(stdin, q), daemon=True).start()
+
+    eof = False
+    while not eof:
+        first = q.get()
+        if first is None:
+            break
+        pending = [first]
+        deadline = time.monotonic() + window_s
+        while len(pending) < max_batch:
+            remaining = deadline - time.monotonic()
+            try:
+                nxt = q.get(timeout=remaining) if remaining > 0 else q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                eof = True
+                break
+            pending.append(nxt)
+
+        reqs = []
+        for line in pending:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                reqs.append(json.loads(line))
+            except Exception as e:
+                reqs.append(e)  # handled as a per-request error below
+
+        responses = [None] * len(reqs)
+        # fuse every well-formed alignment request into one device batch
+        align_idx = [
+            i for i, r in enumerate(reqs)
+            if isinstance(r, dict) and r.get("task") != "transcribe"
+            and "song_path" in r and "lyric" in r
+        ]
+        if len(align_idx) > 1:
+            try:
+                outs = aligner.align_many(
+                    [(reqs[i]["song_path"], reqs[i]["lyric"]) for i in align_idx])
+                for i, seg in zip(align_idx, outs):
+                    responses[i] = {"song_path": reqs[i]["song_path"],
+                                    "alignment": seg}
+            except Exception:
+                pass  # e.g. one bad audio file: isolate it per-request below
+
+        for i, r in enumerate(reqs):
+            if responses[i] is None:
+                if isinstance(r, Exception):
+                    responses[i] = {"song_path": None,
+                                    "error": f"{type(r).__name__}: {r}"}
+                else:
+                    responses[i] = _handle_one(aligner, args, r)
+
+        for resp in responses:
+            stdout.write(json.dumps(resp, ensure_ascii=False) + "\n")
         stdout.flush()
 
 

@@ -1,0 +1,96 @@
+"""JSONL serving loop: continuous batching + per-request error isolation.
+
+Drives ``cli.serve.serve`` directly with StringIO pipes and a tiny
+random-init model (zero egress: synthetic vocab, synthetic wavs).
+"""
+
+import io
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from lyricalignment_tpu.api import LyricAligner
+from lyricalignment_tpu.cli.serve import parse_args, serve
+from lyricalignment_tpu.data.audio_io import write_wav
+from lyricalignment_tpu.models.align_model import AlignModelConfig, init_align_model
+from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS
+from lyricalignment_tpu.train.checkpoints import save_json, save_pytree
+
+
+@pytest.fixture(scope="module")
+def aligner(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve_model")
+    save_json(str(d / "args.json"), {"whisper_model": "tiny", "use_ctc_loss": True})
+    save_json(str(d / "model_args.json"), {
+        "embed_dim": 384, "hidden_dim": 384, "output_dim": 21129,
+        "bidirectional": True, "freeze_encoder": False,
+        "train_alignment": True, "train_transcript": False})
+    cfg = AlignModelConfig(whisper=WHISPER_CONFIGS["tiny"], hidden_dim=384,
+                           output_dim=21129, train_alignment=True,
+                           train_transcript=False)
+    params = init_align_model(jax.random.PRNGKey(0), cfg)
+    save_pytree(str(d / "best_model"), {"params": params, "step": 0})
+    return LyricAligner.from_model_dir(str(d), synthetic_vocab=True, use_ctc=True)
+
+
+@pytest.fixture(scope="module")
+def wav(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve_wavs")
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    path = str(d / "song.wav")
+    write_wav(path, (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), sr)
+    return path
+
+
+def _run(aligner, requests, max_batch=8, window_ms=300.0):
+    args = parse_args(["--model-dir", "ignored", "--use-ctc-loss",
+                       "--synthetic-vocab",
+                       "--max-batch", str(max_batch),
+                       "--batch-window-ms", str(window_ms)])
+    stdin = io.StringIO("".join(json.dumps(r) + "\n" if isinstance(r, dict)
+                                else r + "\n" for r in requests))
+    stdout = io.StringIO()
+    serve(aligner, args, stdin=stdin, stdout=stdout)
+    return [json.loads(line) for line in stdout.getvalue().splitlines()]
+
+
+def test_batched_alignment_in_order(aligner, wav):
+    reqs = [{"song_path": wav, "lyric": "你好"},
+            {"song_path": wav, "lyric": "世界人民"}]
+    out = _run(aligner, reqs)
+    assert len(out) == 2
+    assert [len(r["alignment"]) for r in out] == [2, 4]
+    for r in out:
+        assert r["song_path"] == wav
+        for on, off, ch in r["alignment"]:
+            assert 0.0 <= on <= off
+
+
+def test_batch_matches_single(aligner, wav):
+    """One fused batch == two independent requests (exact segments)."""
+    batched = _run(aligner, [{"song_path": wav, "lyric": "你好"},
+                             {"song_path": wav, "lyric": "好你"}])
+    single = [_run(aligner, [{"song_path": wav, "lyric": "你好"}])[0],
+              _run(aligner, [{"song_path": wav, "lyric": "好你"}])[0]]
+    assert [b["alignment"] for b in batched] == [s["alignment"] for s in single]
+
+
+def test_bad_request_isolated_in_batch(aligner, wav):
+    reqs = [{"song_path": wav, "lyric": "你好"},
+            {"song_path": "/nonexistent/x.wav", "lyric": "你好"},
+            "not json {{{",
+            {"song_path": wav, "lyric": "人"}]
+    out = _run(aligner, reqs)
+    assert len(out) == 4
+    assert "alignment" in out[0] and "alignment" in out[3]
+    assert "error" in out[1] and out[1]["song_path"] == "/nonexistent/x.wav"
+    assert "error" in out[2]
+
+
+def test_max_batch_one_still_serves(aligner, wav):
+    out = _run(aligner, [{"song_path": wav, "lyric": "你好"}], max_batch=1,
+               window_ms=0.0)
+    assert len(out) == 1 and len(out[0]["alignment"]) == 2
