@@ -73,9 +73,13 @@ def _handle_one(aligner, args, req):
 
 
 def _reader(stdin, q):
-    for line in stdin:
-        q.put(line)
-    q.put(None)
+    try:
+        for line in stdin:
+            q.put(line)
+    finally:
+        # always deliver EOF — a reader crash (e.g. UnicodeDecodeError on a
+        # bad byte stream) must shut the serve loop down, not hang it
+        q.put(None)
 
 
 def serve(aligner, args, stdin=None, stdout=None):
@@ -129,8 +133,13 @@ def serve(aligner, args, stdin=None, stdout=None):
                 for i, seg in zip(align_idx, outs):
                     responses[i] = {"song_path": reqs[i]["song_path"],
                                     "alignment": seg}
-            except Exception:
-                pass  # e.g. one bad audio file: isolate it per-request below
+            except Exception as e:
+                # e.g. one bad audio file poisons the fused batch: fall back
+                # to per-request processing (which isolates it) but leave an
+                # operator-visible trace of the degraded path
+                print(f"serve: batched alignment failed "
+                      f"({type(e).__name__}: {e}); retrying per-request",
+                      file=sys.stderr, flush=True)
 
         for i, r in enumerate(reqs):
             if responses[i] is None:

@@ -36,8 +36,10 @@ from lyricalignment_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 try:  # jax >= 0.8
     from jax import shard_map as _shard_map
+    _SHARD_MAP_NO_CHECK = {"check_vma": False}
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map
+    _SHARD_MAP_NO_CHECK = {"check_rep": False}
 
 
 def stack_encoder_blocks(blocks: list, n_stages: int) -> Dict[str, Any]:
@@ -91,7 +93,10 @@ def _stage_and_tick_loop(stacked_local, x_micro, n_head, fast_softmax,
 
     def tick(carry, t):
         x_in, outputs = carry
-        # microbatch t enters stage 0 at tick t; drain ticks inject zeros
+        # microbatch t enters stage 0 at tick t; drain ticks (t >= n_micro)
+        # re-inject the clamped LAST microbatch — their outputs map to
+        # out_idx >= n_micro and are provably never written, so any value
+        # works and the clamp avoids an out-of-bounds gather
         inject = x_micro[jnp.clip(t, 0, n_micro - 1)]
         x_cur = jnp.where(stage == 0, inject, x_in)
         y = stage_fn(x_cur)
@@ -147,7 +152,7 @@ def pipeline_blocks(
         fn, mesh=mesh,
         in_specs=(param_specs, P(*data_spec, None, None)),
         out_specs=P(*data_spec, None, None),
-        check_vma=False,
+        **_SHARD_MAP_NO_CHECK,
     )
     return shard_fn(stacked, x)
 
