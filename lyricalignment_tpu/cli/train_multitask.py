@@ -80,6 +80,12 @@ def parse_args():
     # remaining devices on the data axis
     p.add_argument("--mesh-data", type=int, default=0)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--mesh-pipe", type=int, default=1,
+                   help="GPipe pipeline stages for the encoder over the "
+                        "model mesh axis (exclusive with --mesh-model > 1; "
+                        "encoder layers must divide evenly)")
+    p.add_argument("--pipe-microbatches", type=int, default=2,
+                   help="pipeline microbatches per data shard")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--fast-gelu", action="store_true",
                    help="tanh-approximate encoder GELU (error below "
@@ -166,10 +172,22 @@ def main():
 
     params = init_params(args, mcfg, args.seed)
     mesh = None
-    if args.mesh_data != 0 or args.mesh_model > 1:
-        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+    encode_fn = None
+    if args.mesh_pipe > 1 and args.mesh_model > 1:
+        raise SystemExit("--mesh-pipe and --mesh-model both use the model "
+                         "mesh axis; pick one")
+    if args.mesh_data != 0 or args.mesh_model > 1 or args.mesh_pipe > 1:
+        mesh = make_mesh(data=args.mesh_data,
+                         model=max(args.mesh_model, args.mesh_pipe))
         params = shard_align_params(params, mesh, tp=args.mesh_model > 1)
         print(f"mesh: {dict(mesh.shape)}")
+        if args.mesh_pipe > 1:
+            from lyricalignment_tpu.parallel.pipeline import make_pipeline_encode_fn
+
+            encode_fn = make_pipeline_encode_fn(
+                mesh, n_micro=args.pipe_microbatches)
+            print(f"pipeline-parallel encoder: {args.mesh_pipe} stages x "
+                  f"{args.pipe_microbatches} microbatches")
 
     state, tx = init_train_state(params, tcfg)
     start_step = 0
@@ -186,8 +204,8 @@ def main():
                            step=jnp.asarray(tree["step"], jnp.int32))
         start_step = int(tree["step"])
         print(f"resumed from {args.resume} at step {start_step}")
-    train_step = make_train_step(mcfg, tcfg, tx)
-    eval_step = make_eval_step(mcfg, tcfg)
+    train_step = make_train_step(mcfg, tcfg, tx, encode_fn=encode_fn)
+    eval_step = make_eval_step(mcfg, tcfg, encode_fn=encode_fn)
 
     def run_eval():
         return evaluate(eval_step, state.params, dev_loader)

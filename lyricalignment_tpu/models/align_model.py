@@ -111,12 +111,18 @@ def forward_from_audio(
     frame_lengths: Optional[jnp.ndarray] = None,
     mel_lengths: Optional[jnp.ndarray] = None,
     align_head_output: str = "logits",
+    encode_fn=None,
 ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Raw padded audio [B, T_samples] -> (align_logits, transcribe_logits).
 
     ``align_head_output="hidden"`` returns the pre-classifier hidden states
     in the align slot instead of logits — feed to ``viterbi_align_fused``
     so the [B, T, 21129] logit tensor is never materialised.
+
+    ``encode_fn`` replaces the encoder call — signature
+    ``(whisper_params, whisper_cfg, mel, remat=...) -> [B, T', D]``.
+    Used for pipeline-parallel encoding (``parallel.pipeline
+    .make_pipeline_encode_fn``); defaults to ``encode_audio``.
 
     ``trim_to_input_length=False`` reproduces training behavior (pad/trim to
     one 30 s window, keep all 1500 frames, `module/align_model.py:108-115`);
@@ -131,6 +137,8 @@ def forward_from_audio(
     frame off when the true mel length is odd — pass it explicitly for
     exact parity.
     """
+    if encode_fn is None:
+        encode_fn = encode_audio
     mel = log_mel(audio)  # [B, 80, T_mel] (fused Pallas kernel on TPU)
     if frame_lengths is not None:
         # zero mel beyond each sample's true length: the reference computes
@@ -146,14 +154,14 @@ def forward_from_audio(
 
     if not trim_to_input_length or t_mel == N_FRAMES:
         mel30 = pad_or_trim(mel, N_FRAMES)
-        embed = encode_audio(params["whisper"], cfg.whisper, mel30, remat=remat)
+        embed = encode_fn(params["whisper"], cfg.whisper, mel30, remat=remat)
         embed_for_decoder = embed
         align_embed = embed
         if trim_to_input_length:
             align_embed = embed[:, : _half(t_mel)]
     elif t_mel <= N_FRAMES:
         mel30 = pad_or_trim(mel, N_FRAMES)
-        embed = encode_audio(params["whisper"], cfg.whisper, mel30, remat=remat)
+        embed = encode_fn(params["whisper"], cfg.whisper, mel30, remat=remat)
         align_embed = embed[:, : _half(t_mel)]
         embed_for_decoder = embed
     else:
@@ -164,7 +172,7 @@ def forward_from_audio(
         padded = pad_or_trim(mel, n_chunks * N_FRAMES)
         windows = padded.reshape(b, mel.shape[1], n_chunks, N_FRAMES)
         windows = windows.transpose(0, 2, 1, 3).reshape(b * n_chunks, mel.shape[1], N_FRAMES)
-        embeds = encode_audio(params["whisper"], cfg.whisper, windows, remat=remat)
+        embeds = encode_fn(params["whisper"], cfg.whisper, windows, remat=remat)
         embeds = embeds.reshape(b, n_chunks, EMBED_FRAMES, -1)
         # per-window true length: full windows keep all 1500 frames, the
         # last keeps round(remainder / 2)

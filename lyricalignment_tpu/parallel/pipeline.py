@@ -157,6 +157,27 @@ def pipeline_blocks(
     return shard_fn(stacked, x)
 
 
+def make_pipeline_encode_fn(
+    mesh: Mesh,
+    n_micro: int = 2,
+    data_axis: Optional[str] = DATA_AXIS,
+    pipe_axis: str = MODEL_AXIS,
+):
+    """Encoder replacement for ``forward_from_audio(encode_fn=...)`` /
+    ``make_train_step(encode_fn=...)``: runs the whisper encoder as an
+    ``mesh.shape[pipe_axis]``-stage GPipe pipeline. The returned callable
+    has the ``encode_audio`` calling convention
+    ``(whisper_params, whisper_cfg, mel, remat=...)``."""
+
+    def encode_fn(wparams, wcfg, mel, remat=False):
+        return pipeline_encode_audio(
+            {"encoder": wparams["encoder"]}, wcfg, mel, mesh,
+            n_micro=n_micro, data_axis=data_axis, pipe_axis=pipe_axis,
+            remat=remat)
+
+    return encode_fn
+
+
 def pipeline_encode_audio(
     params: Dict,
     cfg,

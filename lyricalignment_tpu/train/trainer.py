@@ -86,15 +86,20 @@ def multitask_losses(
     batch: Dict[str, jnp.ndarray],
     dropout_rng: Optional[jax.Array],
     allow_transcript: bool = True,
+    encode_fn=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Loss composition of the reference's ``train_step`` body
-    (`train_multitask.py:250-325`) on one fixed-shape batch."""
+    (`train_multitask.py:250-325`) on one fixed-shape batch.
+
+    ``encode_fn`` optionally replaces the encoder (pipeline parallelism:
+    ``parallel.pipeline.make_pipeline_encode_fn``)."""
     align_logits, trans_logits = forward_from_audio(
         params, mcfg, batch["audio"],
         y_in=batch["decoder_input"] if (mcfg.train_transcript and allow_transcript) else None,
         trim_to_input_length=False,
         dropout_rng=dropout_rng,
         remat=tcfg.remat,
+        encode_fn=encode_fn,
     )
 
     align_mask = batch["has_alignment"]
@@ -140,15 +145,22 @@ def make_train_step(
     mcfg: AlignModelConfig,
     tcfg: TrainConfig,
     tx: optax.GradientTransformation,
+    encode_fn=None,
 ) -> Callable:
-    """Build the jitted update. Batch leaves are stacked [accum, B, ...]."""
+    """Build the jitted update. Batch leaves are stacked [accum, B, ...].
+
+    ``encode_fn`` optionally replaces the encoder in every microbatch —
+    pass ``parallel.pipeline.make_pipeline_encode_fn(mesh, ...)`` for a
+    GPipe pipeline-parallel train step (gradients flow through the reverse
+    pipeline schedule automatically)."""
 
     def train_step(state: TrainState, stacked: Dict[str, jnp.ndarray], rng: jax.Array):
         def micro(carry, xs):
             grad_acc, loss_acc = carry
             micro_batch, key = xs
             (loss, losses), grads = jax.value_and_grad(
-                lambda p: multitask_losses(p, mcfg, tcfg, micro_batch, key),
+                lambda p: multitask_losses(p, mcfg, tcfg, micro_batch, key,
+                                           encode_fn=encode_fn),
                 has_aux=True,
             )(state.params)
             grad_acc = jax.tree_util.tree_map(
@@ -177,9 +189,11 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(mcfg: AlignModelConfig, tcfg: TrainConfig) -> Callable:
+def make_eval_step(mcfg: AlignModelConfig, tcfg: TrainConfig,
+                   encode_fn=None) -> Callable:
     def eval_step(params: Dict, batch: Dict[str, jnp.ndarray]):
-        _, losses = multitask_losses(params, mcfg, tcfg, batch, dropout_rng=None)
+        _, losses = multitask_losses(params, mcfg, tcfg, batch,
+                                     dropout_rng=None, encode_fn=encode_fn)
         return losses
 
     return jax.jit(eval_step)

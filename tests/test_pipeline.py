@@ -84,6 +84,71 @@ def test_pipeline_prestacked_params(setup):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pipelined_train_step_matches_standard(setup):
+    """make_train_step(encode_fn=pipeline) == the plain train step:
+    identical losses and updated params (GPipe backward included)."""
+    import dataclasses
+
+    from lyricalignment_tpu.models.align_model import (
+        AlignModelConfig, init_align_model)
+    from lyricalignment_tpu.parallel.pipeline import make_pipeline_encode_fn
+    from lyricalignment_tpu.train.trainer import (
+        TrainConfig, init_train_state, make_train_step)
+
+    vocab = 12
+    # full-frame config: the training path pads mel to 3000 frames, so the
+    # encoder context must be the real 1500 (dims stay tiny otherwise)
+    wcfg = WhisperConfig(
+        n_mels=80, n_vocab=32, n_audio_ctx=1500, n_audio_state=16,
+        n_audio_head=2, n_audio_layer=4, n_text_ctx=8, n_text_state=16,
+        n_text_head=2, n_text_layer=1)
+    mcfg = AlignModelConfig(
+        whisper=wcfg, hidden_dim=8, output_dim=vocab + 1,
+        train_alignment=True, train_transcript=True, dropout=0.0)
+    tcfg = TrainConfig(accum_grad_steps=2, use_ctc=True, vocab_size=vocab,
+                       total_steps=4, warmup_steps=1)
+    params = init_align_model(jax.random.PRNGKey(3), mcfg)
+    mesh = make_mesh(data=2, model=4)
+
+    rng = np.random.default_rng(11)
+    accum, b = 2, 4  # per-data-shard batch 2 -> n_micro 2
+    stacked = {
+        "audio": jnp.asarray(rng.standard_normal((accum, b, 32000)).astype(np.float32) * 0.05),
+        "ctc_labels": jnp.asarray(np.pad(
+            rng.integers(1, vocab - 1, (accum, b, 3)).astype(np.int32),
+            ((0, 0), (0, 0), (0, 3)), constant_values=-100)),
+        "frame_labels": jnp.asarray(np.where(
+            rng.random((accum, b, 1500)) < 0.3,
+            rng.integers(1, vocab - 1, (accum, b, 1500)), -100).astype(np.int32)),
+        "label_lengths": jnp.asarray(np.full((accum, b), 3, np.int32)),
+        "has_alignment": jnp.asarray(np.ones((accum, b), bool)),
+        "decoder_input": jnp.asarray(rng.integers(0, 32, (accum, b, 5)).astype(np.int32)),
+        "decoder_output": jnp.asarray(rng.integers(0, 32, (accum, b, 5)).astype(np.int32)),
+    }
+    key = jax.random.PRNGKey(4)
+
+    # the train step donates its state: give each run an independent copy
+    params_a = jax.tree_util.tree_map(jnp.copy, params)
+    params_b = jax.tree_util.tree_map(jnp.copy, params)
+    state_a, tx_a = init_train_state(params_a, tcfg)
+    step_a = make_train_step(mcfg, tcfg, tx_a)
+    state_a, losses_a = step_a(state_a, stacked, key)
+
+    state_b, tx_b = init_train_state(params_b, tcfg)
+    step_b = make_train_step(mcfg, tcfg, tx_b,
+                             encode_fn=make_pipeline_encode_fn(mesh, n_micro=2))
+    state_b, losses_b = step_b(state_b, stacked, key)
+
+    for k in losses_a:
+        np.testing.assert_allclose(float(losses_b[k]), float(losses_a[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    flat_a, _ = jax.tree_util.tree_flatten(state_a.params)
+    flat_b, _ = jax.tree_util.tree_flatten(state_b.params)
+    for a, b_ in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
+
+
 @pytest.mark.parametrize("remat", [False, True])
 def test_pipeline_gradients_match(setup, remat):
     """GPipe backward: grads through the pipeline == single-device grads."""
