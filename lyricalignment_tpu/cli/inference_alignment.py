@@ -63,6 +63,9 @@ def parse_args():
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-shard the whisper backbone over N chips "
                         "(Megatron TP; combine with --mesh-data)")
+    p.add_argument("--mesh-pipe", type=int, default=1,
+                   help="GPipe-stage the encoder over N chips (exclusive "
+                        "with --mesh-model; encoder layers must divide N)")
     add_asset_args(p)
     return p.parse_args()
 
@@ -93,17 +96,23 @@ def align_records(records, params, mcfg, table, bert, args):
     # optional multi-chip inference: batches sharded over the data axis,
     # backbone optionally tensor-sharded; XLA inserts the ICI collectives
     mesh = None
+    encode_fn = None
     mesh_data = getattr(args, "mesh_data", 0)
     mesh_model = getattr(args, "mesh_model", 1)
-    if mesh_data or mesh_model > 1:
+    mesh_pipe = getattr(args, "mesh_pipe", 1)
+    if mesh_pipe > 1 and mesh_model > 1:
+        raise SystemExit("--mesh-pipe and --mesh-model both use the model "
+                         "mesh axis; pick one")
+    if mesh_data or mesh_model > 1 or mesh_pipe > 1:
         from lyricalignment_tpu.parallel.mesh import (
             batch_sharding,
             make_mesh,
             shard_align_params,
         )
 
-        n_dev = (mesh_data or (len(jax.devices()) // mesh_model)) * mesh_model
-        mesh = make_mesh(data=mesh_data or -1, model=mesh_model,
+        model_size = max(mesh_model, mesh_pipe)
+        n_dev = (mesh_data or (len(jax.devices()) // model_size)) * model_size
+        mesh = make_mesh(data=mesh_data or -1, model=model_size,
                          devices=jax.devices()[:n_dev])
         if batch_size % mesh.shape["data"]:
             raise SystemExit(
@@ -111,6 +120,12 @@ def align_records(records, params, mcfg, table, bert, args):
                 f"({mesh.shape['data']})")
         params = shard_align_params(params, mesh, tp=mesh_model > 1)
         data_sharding = batch_sharding(mesh)
+        if mesh_pipe > 1:
+            # GPipe-staged encoder: each chip holds 1/N of the layers
+            from lyricalignment_tpu.parallel.pipeline import make_pipeline_encode_fn
+
+            n_micro = batch_size // mesh.shape["data"]
+            encode_fn = make_pipeline_encode_fn(mesh, n_micro=min(2, n_micro))
 
     # fused path: forward returns the pre-classifier hidden and the Viterbi
     # computes emissions chunk-wise from the fc weights, so the
@@ -125,7 +140,8 @@ def align_records(records, params, mcfg, table, bert, args):
                                     trim_to_input_length=True,
                                     frame_lengths=frame_lengths,
                                     mel_lengths=mel_lengths,
-                                    align_head_output=head_output)
+                                    align_head_output=head_output,
+                                    encode_fn=encode_fn)
         return out
 
     # group indices by bucketed length (header-only peek, no decode)

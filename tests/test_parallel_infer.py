@@ -65,6 +65,31 @@ def test_mesh_dp_tp_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(s), np.asarray(m), atol=1e-4)
 
 
+def test_mesh_dp_pp_matches_single_device(setup, tmp_path_factory):
+    """--mesh-pipe: GPipe-staged encoder (DP4 x PP2) must produce the same
+    boundaries as the single-device run."""
+    _, _, records = setup
+    mcfg = AlignModelConfig(
+        whisper=WhisperConfig(n_mels=80, n_vocab=32, n_audio_ctx=1500,
+                              n_audio_state=32, n_audio_head=4, n_audio_layer=2,
+                              n_text_ctx=8, n_text_state=32, n_text_head=4,
+                              n_text_layer=1),
+        hidden_dim=16, output_dim=N_CLASSES + 1,
+        train_alignment=True, train_transcript=False,
+    )
+    params = init_align_model(jax.random.PRNGKey(5), mcfg)
+    single = _run(mcfg, params, records)
+    piped = _run(mcfg, params, records, mesh_data=4, mesh_pipe=2)
+    for s, m in zip(single, piped):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(m), atol=1e-4)
+
+
+def test_mesh_pipe_excludes_tp(setup):
+    mcfg, params, records = setup
+    with pytest.raises(SystemExit, match="pick one"):
+        _run(mcfg, params, records[:4], mesh_data=2, mesh_model=2, mesh_pipe=2)
+
+
 def test_mesh_batch_divisibility_enforced(setup):
     mcfg, params, records = setup
     with pytest.raises(SystemExit, match="divisible"):
