@@ -102,6 +102,15 @@ class LyricAligner:
     def transcribe(
         self,
         audio_path: str,
+        **kwargs,
+    ) -> str:
+        """Transcribe one song; >30 s audio runs whisper's sequential seek
+        decode (``decode.longform``) unless ``fast_windows=True``."""
+        return self.transcribe_many([audio_path], **kwargs)[0]
+
+    def transcribe_many(
+        self,
+        audio_paths: Sequence[str],
         whisper_bpe: Optional[str] = None,
         beam_size: int = 5,
         max_new_tokens: int = 224,
@@ -110,9 +119,10 @@ class LyricAligner:
         length_penalty: Optional[float] = None,
         condition_on_previous_text: bool = True,
         temperature_fallback: bool = False,
-    ) -> str:
-        """Transcribe one song; >30 s audio runs whisper's sequential seek
-        decode (``decode.longform``) unless ``fast_windows``."""
+    ) -> List[str]:
+        """Transcribe a batch of songs: single-window audio shares fixed-
+        size batched beam-search launches (``cli.inference_transcript
+        .transcribe_records``); results come back in input order."""
         from lyricalignment_tpu.cli.inference_transcript import transcribe_records
         from lyricalignment_tpu.data.records import Record
         from lyricalignment_tpu.text.whisper_tokenizer import WhisperTokenizer
@@ -130,6 +140,6 @@ class LyricAligner:
             seed=114514,
         )
         results = transcribe_records(
-            [Record(audio_path=audio_path, text="")],
+            [Record(audio_path=p, text="") for p in audio_paths],
             self.params["whisper"], self.mcfg.whisper, wt, args)
-        return results[0]["inference"]
+        return [r["inference"] for r in results]

@@ -120,11 +120,16 @@ def serve(aligner, args, stdin=None, stdout=None):
                 reqs.append(e)  # handled as a per-request error below
 
         responses = [None] * len(reqs)
-        # fuse every well-formed alignment request into one device batch
+        # fuse well-formed requests of each task into one device batch
         align_idx = [
             i for i, r in enumerate(reqs)
             if isinstance(r, dict) and r.get("task") != "transcribe"
             and "song_path" in r and "lyric" in r
+        ]
+        trans_idx = [
+            i for i, r in enumerate(reqs)
+            if isinstance(r, dict) and r.get("task") == "transcribe"
+            and "song_path" in r
         ]
         if len(align_idx) > 1:
             try:
@@ -138,6 +143,18 @@ def serve(aligner, args, stdin=None, stdout=None):
                 # to per-request processing (which isolates it) but leave an
                 # operator-visible trace of the degraded path
                 print(f"serve: batched alignment failed "
+                      f"({type(e).__name__}: {e}); retrying per-request",
+                      file=sys.stderr, flush=True)
+        if len(trans_idx) > 1:
+            try:
+                texts = aligner.transcribe_many(
+                    [reqs[i]["song_path"] for i in trans_idx],
+                    whisper_bpe=args.whisper_bpe, beam_size=args.beam_size)
+                for i, text in zip(trans_idx, texts):
+                    responses[i] = {"song_path": reqs[i]["song_path"],
+                                    "inference": text}
+            except Exception as e:
+                print(f"serve: batched transcription failed "
                       f"({type(e).__name__}: {e}); retrying per-request",
                       file=sys.stderr, flush=True)
 

@@ -90,6 +90,15 @@ def test_bad_request_isolated_in_batch(aligner, wav):
     assert "error" in out[2]
 
 
+def test_batched_transcription(aligner, wav):
+    reqs = [{"song_path": wav, "task": "transcribe"},
+            {"song_path": wav, "task": "transcribe"}]
+    out = _run(aligner, reqs)
+    assert len(out) == 2
+    assert all("inference" in r for r in out)
+    assert out[0]["inference"] == out[1]["inference"]
+
+
 def test_max_batch_one_still_serves(aligner, wav):
     out = _run(aligner, [{"song_path": wav, "lyric": "你好"}], max_batch=1,
                window_ms=0.0)
