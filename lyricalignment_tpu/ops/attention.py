@@ -9,11 +9,14 @@ backward), padding the sequence up to a lane-aligned length and masking
 the padding with segment ids.
 
 Block sizes are tuned for whisper encoder shapes (T=1536 after padding,
-Dh=64) on v5e: block_q=768 / block_k_major=1536 / block_k=768 measured
-2.85-2.92 ms vs 3.7-4.0 ms einsum forward (B=8, H=16, bf16) — the library
-DEFAULT blocks measured 10.2 ms, which is why round 1 parked the kernel.
-Forward+backward is a wash (9.8 ms both), so training keeps the same
-dispatch (the kernel's custom VJP handles the backward).
+Dh=64) on v5e. Round-2 retune (same-run in-loop A/B): FORWARD blocks at
+the full sequence (block_q=block_k=1536) measured 1.61 ms/layer vs 1.83
+at the round-1 768/768 (B=8, H=16, bf16; einsum 3.1; the library DEFAULT
+blocks measured 10.2 ms, which is why round 1 parked the kernel; large
+H=20: 2.13 vs 2.28). BACKWARD blocks stay at 768 — full-T dkv/dq kernels
+fail to compile (VMEM) — giving fwd+bwd 9.33 ms/layer vs 9.41 before, so
+training keeps the same dispatch (the kernel's custom VJP handles the
+backward).
 
 Numerics: flash accumulates the softmax in f32 internally, matching the
 einsum path's f32-softmax to bf16 rounding. Set LA_TPU_NO_FLASH_ATTENTION=1
@@ -28,8 +31,10 @@ import jax
 import jax.numpy as jnp
 
 _LANE = 128
-_BLOCK_Q = 768
-_BLOCK_K = 768
+_BLOCK_Q = 1536      # forward: full-sequence blocks measured fastest
+_BLOCK_K = 1536
+_BLOCK_Q_BWD = 768   # backward: full-T dkv/dq blocks exceed VMEM
+_BLOCK_K_BWD = 768
 
 
 def _einsum_attention(q, k, v, sm_scale):
@@ -57,17 +62,19 @@ def self_attention(q, k, v, sm_scale: float = 1.0):
 
     b, t, h, dh = q.shape
     t_pad = -(-t // _LANE) * _LANE
-    # largest lane-multiple divisor of t_pad up to the tuned block size —
-    # t_pad is always a multiple of 128, so this never degrades below 128
-    bq = max(d for d in range(_LANE, min(_BLOCK_Q, t_pad) + 1, _LANE)
-             if t_pad % d == 0)
-    bk = max(d for d in range(_LANE, min(_BLOCK_K, t_pad) + 1, _LANE)
-             if t_pad % d == 0)
+    def fit(block):
+        # largest lane-multiple divisor of t_pad up to the tuned block size
+        # — t_pad is always a multiple of 128, so never below 128
+        return max(d for d in range(_LANE, min(block, t_pad) + 1, _LANE)
+                   if t_pad % d == 0)
+
+    bq, bk = fit(_BLOCK_Q), fit(_BLOCK_K)
+    bq_b, bk_b = fit(_BLOCK_Q_BWD), fit(_BLOCK_K_BWD)
     block_sizes = BlockSizes(
         block_q=bq, block_k_major=t_pad, block_k=bk, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=t_pad,
-        block_k_dkv=bk, block_q_dkv=bq,
-        block_k_major_dq=t_pad, block_k_dq=bk, block_q_dq=bq,
+        block_q_major_dkv=bq_b, block_k_major_dkv=t_pad,
+        block_k_dkv=bk_b, block_q_dkv=bq_b,
+        block_k_major_dq=t_pad, block_k_dq=bk_b, block_q_dq=bq_b,
     )
 
     # flash kernel wants [B, H, T, Dh]
