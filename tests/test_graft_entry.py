@@ -37,7 +37,7 @@ def test_dryrun_multichip_self_provisions_single_device_process():
     )
     proc = subprocess.run(
         [sys.executable, "-c", child], env=env, cwd=REPO,
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True, timeout=2400,
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip(8)" in proc.stdout
