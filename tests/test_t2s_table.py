@@ -1,0 +1,85 @@
+"""Audit tests for the embedded traditional->simplified table.
+
+The reference normalizes via the ``chinese_converter`` pip package
+(`evaluate_transcript.py:64-68`, `utils/postprocess.py:36`); this framework
+embeds the mapping in `text/normalize.py`. A hand-typed table needs
+invariance tests: round-2 review found `to_simplified("猛") == "勐"` (猛 is
+identical in both scripts), a conflicting duplicate `廟→厣` shadowed by the
+correct `廟→庙`, and a reversed pair `畲→畬`. These tests pin the fixes and
+make the whole-table invariants regression-proof.
+"""
+
+from collections import defaultdict
+
+from lyricalignment_tpu.text.normalize import _T2S_PAIRS, normalize_for_eval, to_simplified
+
+# Common characters that are IDENTICAL in traditional and simplified script.
+# chinese_converter leaves all of these unchanged; so must we.
+_IDENTICAL_BOTH_SCRIPTS = (
+    "猛水山人我你他的一是不了在有好天上中大小月日心手口明星花雨唱歌春秋冬夜海风"
+    "雪情想走看家城市平安生命知道世界希望思念温柔孤单勇敢"
+)
+
+# Characters whose simplified form IS itself a mapping target elsewhere, or
+# rare-but-real simplified chars that a buggy table once corrupted.
+_PASS_THROUGH = "勐着里舍卷干面台只苏"
+
+
+def test_identical_chars_pass_through():
+    for ch in _IDENTICAL_BOTH_SCRIPTS:
+        assert to_simplified(ch) == ch, f"{ch!r} must pass through unchanged"
+
+
+def test_simplified_targets_pass_through():
+    for ch in _PASS_THROUGH:
+        assert to_simplified(ch) == ch, f"{ch!r} must pass through unchanged"
+
+
+def test_known_pairs():
+    known = {
+        "廟": "庙",
+        "厴": "厣",
+        "畬": "畲",
+        "樂": "乐",
+        "愛": "爱",
+        "聽": "听",
+        "萬": "万",
+        "鯰": "鲶",
+        "嶁": "嵝",
+        "孃": "娘",
+        "穀": "谷",
+        "歌": "歌",
+    }
+    for trad, simp in known.items():
+        assert to_simplified(trad) == simp
+
+
+def test_no_conflicting_duplicates():
+    by_source = defaultdict(set)
+    for p in _T2S_PAIRS:
+        assert len(p) == 2, f"malformed pair {p!r}"
+        by_source[p[0]].add(p[1])
+    conflicts = {k: v for k, v in by_source.items() if len(v) > 1}
+    assert not conflicts, f"conflicting duplicate mappings: {conflicts}"
+
+
+def test_no_identity_pairs():
+    idents = [p for p in _T2S_PAIRS if p[0] == p[1]]
+    assert not idents, f"pointless identity pairs (likely typos): {idents}"
+
+
+def test_idempotent():
+    # No mapping target may itself be a mapping source: applying the table
+    # twice must equal applying it once (matches chinese_converter behavior).
+    sources = {p[0] for p in _T2S_PAIRS}
+    targets = {p[1] for p in _T2S_PAIRS}
+    both = sources & targets
+    assert not both, f"targets that are also sources break idempotence: {both}"
+    text = "".join(p[0] for p in _T2S_PAIRS)
+    once = to_simplified(text)
+    assert to_simplified(once) == once
+
+
+def test_normalize_for_eval_uses_fixed_table():
+    # End-to-end through the eval normalizer (strips English/space/period too).
+    assert normalize_for_eval("猛 abc 廟.畬") == "猛庙畲"
