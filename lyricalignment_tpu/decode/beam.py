@@ -179,85 +179,177 @@ def beam_loop(
     max_new_tokens: int,
     eot: int,
     length_penalty: Optional[float] = None,
+    patience: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Beam search from a primed cache.
+    """Beam search from a primed cache, token-for-token equivalent to
+    whisper's BeamSearchDecoder + MaximumLikelihoodRanker (the decode engine
+    behind the reference's ``model.transcribe(..., beam_size=5)``,
+    `inference_transcript.py:88-91`).
 
-    Returns (tokens i32[B, max_new_tokens] of the best beam, avg logprob
-    f32[B] of that beam = sum_logprob / num_generated_tokens). Beam
-    SELECTION uses whisper's MaximumLikelihoodRanker (the Google-NMT
-    formula when ``length_penalty`` is set), but the returned score is
-    always the plain average logprob — whisper's quality gates
-    (logprob_threshold) are defined on that scale regardless of the
-    ranking penalty.
+    Semantics pinned against an independent numpy oracle
+    (tests/test_beam_oracle.py):
+
+    - each live beam proposes its top ``k+1`` continuations; the per-sample
+      candidate pool is ranked best-first (ties resolve in beam-major,
+      per-beam-rank order, matching the reference's dict insertion order)
+    - a candidate ending in eot is moved to the finished set; live slots are
+      refilled by the best non-eot candidates, so finished sequences never
+      block the beam
+    - the finished set keeps the FIRST ``max_candidates = round(k *
+      patience)`` sequences to finish (within a step, best first) and
+      decoding completes when every sample has that many
+    - if the token budget runs out first, unfinished beams are appended by
+      descending sum-logprob (ties: higher beam index first, matching
+      ``reversed(np.argsort(...))``) until ``k`` candidates exist
+    - ranking normalizes by the generated text length EXCLUDING eot
+      (``sum_logprob / n_text`` or the Google-NMT formula
+      ``sum_logprob / ((5 + n_text) / 6) ** length_penalty``)
+
+    Returns (tokens i32[B, max_new_tokens] of the best candidate, eot-padded,
+    and its average logprob f32[B] = sum_logprob / (n_text + 1) — whisper's
+    ``avg_logprob``, the scale its logprob_threshold quality gate is
+    defined on, regardless of the ranking penalty).
     """
     bk = logits0.shape[0]
     k = beam_size
     b = bk // k
+    t = max_new_tokens
+    n_cand = int(round((patience if patience is not None else 1.0) * k))
+    if n_cand < k:
+        raise ValueError(f"patience {patience} gives {n_cand} < beam_size candidates")
 
-    tokens0 = jnp.full((bk, max_new_tokens), eot, jnp.int32)
+    def select(i, cand_lp, cand_tok, cand_src, live_tokens,
+               fin_tok, fin_score, fin_ntext, fin_cnt):
+        """One BeamSearchDecoder.update: walk the candidate pool best-first,
+        routing eot candidates to the finished buffers and the best k non-eot
+        candidates to the live slots (in score order).
+
+        cand_* are [B, M] in beam-major, per-beam-rank-minor order; top_k's
+        lowest-index tie rule then reproduces the reference's stable sort
+        over dict insertion order. live_tokens is the [B, k_src, T] buffer
+        the source indices point into."""
+        m = cand_lp.shape[1]
+        order_lp, order = jax.lax.top_k(cand_lp, m)              # full sort desc
+        tok_s = jnp.take_along_axis(cand_tok, order, axis=1)
+        src_s = jnp.take_along_axis(cand_src, order, axis=1)
+        is_eot = tok_s == eot
+        live_rank = jnp.cumsum((~is_eot).astype(jnp.int32), axis=1)   # 1-based
+        pos = jnp.arange(m)[None, :]
+        # the reference breaks after saving the k-th live candidate; eot
+        # candidates ranked above that point finish, later ones are dropped
+        pos_k = jnp.argmax(live_rank >= k, axis=1)               # [B]
+        new_fin = is_eot & (pos < pos_k[:, None])
+        live_sel = (~is_eot) & (live_rank <= k)
+
+        live_pos = jnp.sort(jnp.where(live_sel, pos, m), axis=1)[:, :k]
+        new_lp = jnp.take_along_axis(order_lp, live_pos, axis=1)      # [B, k]
+        new_tok = jnp.take_along_axis(tok_s, live_pos, axis=1)
+        new_src = jnp.take_along_axis(src_s, live_pos, axis=1)
+
+        # append the newly finished (score order) until the buffer holds
+        # n_cand sequences; first-come-first-kept, like the reference
+        fin_pos = jnp.sort(jnp.where(new_fin, pos, m), axis=1)[:, :k]
+        fin_valid = fin_pos < m
+        safe = jnp.minimum(fin_pos, m - 1)
+        f_lp = jnp.take_along_axis(order_lp, safe, axis=1)            # [B, k]
+        f_src = jnp.take_along_axis(src_s, safe, axis=1)
+        slot = fin_cnt[:, None] + jnp.cumsum(fin_valid.astype(jnp.int32), axis=1) - 1
+        write = fin_valid & (slot < n_cand)
+        slot_c = jnp.clip(slot, 0, n_cand - 1)
+        onehot = (write[:, :, None]
+                  & (slot_c[:, :, None] == jnp.arange(n_cand)[None, None, :]))
+        any_w = onehot.any(axis=1)                                    # [B, C]
+        oh = onehot.astype(jnp.float32)
+        fin_score = jnp.where(any_w, jnp.einsum("bkc,bk->bc", oh, f_lp), fin_score)
+        fin_ntext = jnp.where(any_w, i, fin_ntext)
+        f_rows = jnp.take_along_axis(
+            live_tokens, f_src[:, :, None], axis=1)                   # [B, k, T]
+        fin_tok = jnp.where(
+            any_w[:, :, None],
+            jnp.einsum("bkc,bkt->bct", onehot.astype(jnp.int32), f_rows),
+            fin_tok)
+        fin_cnt = jnp.minimum(fin_cnt + fin_valid.sum(axis=1), n_cand)
+        return new_lp, new_tok, new_src, fin_tok, fin_score, fin_ntext, fin_cnt
+
+    tokens0 = jnp.full((bk, t), eot, jnp.int32)
+    fin_tok = jnp.full((b, n_cand, t), eot, jnp.int32)
+    fin_score = jnp.full((b, n_cand), NEG_INF, jnp.float32)
+    fin_ntext = jnp.ones((b, n_cand), jnp.int32)    # 1 avoids 0/0 in empty slots
+    fin_cnt = jnp.zeros((b,), jnp.int32)
+
+    # first expansion: all beams of a sample are identical, so the
+    # reference's dict dedups the pool to beam 0's top (k+1) candidates
     logp0 = jax.nn.log_softmax(process(logits0, tokens0, jnp.asarray(0)), axis=-1)
-    # first expansion: take top-k from beam 0 only (all beams identical now)
     first = logp0.reshape(b, k, -1)[:, 0]
-    top_lp, top_tok = jax.lax.top_k(first, k)           # [B, k]
-
-    tokens0 = tokens0.at[:, 0].set(top_tok.reshape(-1))
-    sum_lp0 = top_lp.reshape(-1)                        # [B*k]
-    done0 = top_tok.reshape(-1) == eot
-    lengths0 = jnp.ones((bk,), jnp.int32)
+    row_lp, row_tok = jax.lax.top_k(first, k + 1)                # [B, k+1]
+    (sum_lp, new_tok, _, fin_tok, fin_score, fin_ntext, fin_cnt) = select(
+        jnp.asarray(0), row_lp, row_tok, jnp.zeros_like(row_tok),
+        tokens0.reshape(b, k, t), fin_tok, fin_score, fin_ntext, fin_cnt)
+    # cache rows of a sample are identical post-priming: no gather needed
+    tokens = tokens0.at[:, 0].set(new_tok.reshape(-1))
+    sum_lp = sum_lp.reshape(-1)                                  # [B*k]
 
     def cond(state):
-        i, _, _, _, _, _, done = state
-        return (i < max_new_tokens) & ~jnp.all(done)
+        i = state[0]
+        fin_cnt = state[-1]
+        return (i < t) & ~jnp.all(fin_cnt >= n_cand)
 
     def body(state):
-        i, tok, cache, sum_lp, lengths, tokens, done = state
+        i, tok, cache, sum_lp, tokens, fin_tok, fin_score, fin_ntext, fin_cnt = state
         logits, cache = decode_step(params, cfg, tok, cache)
-        logp = jax.nn.log_softmax(process(logits, tokens, i), axis=-1)  # [B*k, V]
-        v = logp.shape[-1]
+        logp = jax.nn.log_softmax(process(logits, tokens, i), axis=-1)   # [B*k, V]
+        row_lp, row_tok = jax.lax.top_k(logp, k + 1)             # [B*k, k+1]
+        cand_lp = (sum_lp[:, None] + row_lp).reshape(b, k * (k + 1))
+        cand_tok = row_tok.reshape(b, k * (k + 1))
+        cand_src = jnp.broadcast_to(
+            jnp.repeat(jnp.arange(k), k + 1)[None, :], (b, k * (k + 1)))
 
-        # finished beams: only "emit eot again" at zero cost, everything else
-        # forbidden — keeps them competitive without growing their score
-        eot_only = jnp.full((v,), NEG_INF).at[eot].set(0.0)
-        logp = jnp.where(done[:, None], eot_only[None, :], logp)
+        (new_lp, new_tok, new_src, fin_tok, fin_score, fin_ntext, fin_cnt) = select(
+            i, cand_lp, cand_tok, cand_src, tokens.reshape(b, k, t),
+            fin_tok, fin_score, fin_ntext, fin_cnt)
 
-        cand = sum_lp[:, None] + logp                    # [B*k, V]
-        # two-stage top-k: each global winner is necessarily within the
-        # top-k of its source beam, so select per-beam over V first, then
-        # over the k*k survivors — identical result (ties included: both
-        # stages are beam-major then vocab-id ordered), ~k x narrower sort
-        row_lp, row_tok = jax.lax.top_k(cand, k)         # [B*k, k]
-        top_lp, flat = jax.lax.top_k(row_lp.reshape(b, k * k), k)  # [B, k]
-        beam_idx = flat // k                             # source beam within b
-        tok_idx = jnp.take_along_axis(
-            row_tok.reshape(b, k * k), flat, axis=1).astype(jnp.int32)
-
-        src = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)  # [B*k]
+        src = (jnp.arange(b)[:, None] * k + new_src).reshape(-1)     # [B*k]
         cache = _gather_cache(cache, src)
-        tokens = tokens[src]
-        was_done = done[src]
-        lengths = lengths[src]
+        tokens = tokens[src].at[:, i].set(new_tok.reshape(-1))
+        return (i + 1, new_tok.reshape(-1, 1), cache, new_lp.reshape(-1),
+                tokens, fin_tok, fin_score, fin_ntext, fin_cnt)
 
-        new_tok = tok_idx.reshape(-1)
-        tokens = tokens.at[:, i].set(jnp.where(was_done, eot, new_tok))
-        lengths = jnp.where(was_done, lengths, lengths + 1)
-        done = was_done | (new_tok == eot)
-        # eot emission: token counted in score but not re-added after done
-        return i + 1, new_tok[:, None], cache, top_lp.reshape(-1), lengths, tokens, done
+    state = (jnp.asarray(1), tokens[:, 0:1], cache, sum_lp, tokens,
+             fin_tok, fin_score, fin_ntext, fin_cnt)
+    (i_exit, _, _, sum_lp, tokens,
+     fin_tok, fin_score, fin_ntext, fin_cnt) = jax.lax.while_loop(cond, body, state)
 
-    state = (jnp.asarray(1), tokens0[:, 0:1], cache, sum_lp0, lengths0, tokens0, done0)
-    _, _, _, sum_lp, lengths, tokens, done = jax.lax.while_loop(cond, body, state)
+    # finalize: if a sample has fewer than beam_size finished sequences, pad
+    # with unfinished beams by descending sum-logprob (reference finalize:
+    # reversed(np.argsort) — ties pick the higher beam index first)
+    sum_lp_b = sum_lp.reshape(b, k)
+    order = jnp.argsort(sum_lp_b, axis=1)[:, ::-1]               # [B, k]
+    pad_lp = jnp.take_along_axis(sum_lp_b, order, axis=1)
+    pad_rows = jnp.take_along_axis(
+        tokens.reshape(b, k, t), order[:, :, None], axis=1)      # [B, k, T]
+    slot = fin_cnt[:, None] + jnp.arange(k)[None, :]
+    write = slot < k
+    slot_c = jnp.clip(slot, 0, n_cand - 1)
+    onehot = write[:, :, None] & (slot_c[:, :, None] == jnp.arange(n_cand)[None, None, :])
+    any_w = onehot.any(axis=1)
+    fin_score = jnp.where(
+        any_w, jnp.einsum("bkc,bk->bc", onehot.astype(jnp.float32), pad_lp), fin_score)
+    fin_ntext = jnp.where(any_w, i_exit, fin_ntext)
+    fin_tok = jnp.where(
+        any_w[:, :, None],
+        jnp.einsum("bkc,bkt->bct", onehot.astype(jnp.int32), pad_rows), fin_tok)
 
-    # rank: whisper MaximumLikelihoodRanker
-    lengths_f = jnp.maximum(lengths.reshape(b, k), 1).astype(jnp.float32)
+    # rank: whisper MaximumLikelihoodRanker over text length excluding eot
+    lengths_f = fin_ntext.astype(jnp.float32)                    # [B, C]
     if length_penalty is None:
         norm = lengths_f
     else:
         norm = ((5.0 + lengths_f) / 6.0) ** length_penalty
-    rank = sum_lp.reshape(b, k) / norm
+    rank = fin_score / norm                                      # empty slots: -inf
     best = jnp.argmax(rank, axis=1)
     rows = jnp.arange(b)
-    avg = sum_lp.reshape(b, k)[rows, best] / lengths_f[rows, best]
-    return tokens[rows * k + best], avg
+    avg = fin_score[rows, best] / (fin_ntext[rows, best].astype(jnp.float32) + 1.0)
+    return fin_tok[rows, best], avg
 
 
 def sample_loop(
@@ -352,7 +444,7 @@ def greedy_decode(
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "beam_size", "max_new_tokens", "eot", "suppress_ids",
-    "begin_suppress_ids", "length_penalty"))
+    "begin_suppress_ids", "length_penalty", "patience"))
 def beam_search(
     params: Dict,
     cfg: WhisperConfig,
@@ -364,6 +456,7 @@ def beam_search(
     suppress_ids: tuple = (),
     begin_suppress_ids: tuple = (),
     length_penalty: Optional[float] = None,
+    patience: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched beam search.
 
@@ -380,4 +473,4 @@ def beam_search(
     logits, cache = _prime_cache(params, cfg, prompt_k, cache)
     process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids)
     return beam_loop(params, cfg, logits, cache, process, k, max_new_tokens,
-                     eot, length_penalty)
+                     eot, length_penalty, patience)
