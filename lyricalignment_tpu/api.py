@@ -22,7 +22,8 @@ from lyricalignment_tpu.utils.metrics import mae as mae_metric
 
 class LyricAligner:
     def __init__(self, mcfg, params, bert_tokenizer, table, use_ctc: bool = False,
-                 bucket_seconds: float = 5.0, max_label_len: int = 128):
+                 bucket_seconds: float = 5.0, max_label_len: int = 128,
+                 batch_size: int = 8):
         self.mcfg = mcfg
         self.params = params
         self.bert = bert_tokenizer
@@ -30,6 +31,10 @@ class LyricAligner:
         self.use_ctc = use_ctc
         self.bucket_seconds = bucket_seconds
         self.max_label_len = max_label_len
+        # fixed device batch: requests are padded to this static shape so
+        # continuous batching compiles once per length bucket, not once per
+        # (backlog size, bucket) pair — compile costs 1-5 min on the tunnel
+        self.batch_size = max(1, batch_size)
 
     @classmethod
     def from_model_dir(
@@ -87,7 +92,7 @@ class LyricAligner:
 
         records = [Record(audio_path=p, text=t) for p, t in requests]
         args = self._cli_args()
-        args.batch_size = max(1, len(records))
+        args.batch_size = self.batch_size
         out = list(align_records(
             records, self.params, self.mcfg, self.table, self.bert, args))
         return [[[on, off, ch] for (on, off), ch in zip(segments, record.text)]

@@ -80,26 +80,29 @@ def bucket_samples(n_samples: int, bucket_seconds: float) -> int:
     return min(max(bucket, math.ceil(n_samples / bucket) * bucket), N_SAMPLES)
 
 
-def align_records(records, params, mcfg, table, bert, args):
-    """Yield (record, [[on, off], ...]) in input order.
+# Memoized per-configuration inference setup: repeated align_records calls
+# (every serve batch, every LyricAligner.align) must reuse ONE jit wrapper so
+# the compile cache hits — a fresh @jax.jit per call retraces the encoder,
+# which costs 1-5 min per shape on the remote TPU tunnel.
+_FORWARD_SETUP_CACHE: dict = {}
 
-    Records are grouped by length bucket (one jit compile per bucket) and
-    processed ``batch_size`` at a time within a bucket — the reference
-    aligns one record per step (`inference_alignment.py:145-166`); here a
-    whole batch shares one device round-trip.
+
+def _forward_setup(mcfg, head_output, batch_size, mesh_data, mesh_model,
+                   mesh_pipe):
+    """Return (forward, mesh, data_sharding, shard_params) for a config.
+
+    ``shard_params`` re-places the (possibly new) params on the cached mesh;
+    the jitted ``forward`` itself is shared across calls.
     """
-    from lyricalignment_tpu.data.audio_io import audio_num_samples_16k
+    key = (mcfg, head_output, batch_size, mesh_data, mesh_model, mesh_pipe)
+    hit = _FORWARD_SETUP_CACHE.get(key)
+    if hit is not None:
+        return hit
 
-    mode = "ctc" if args.use_ctc_loss else "ce"
-    batch_size = max(1, getattr(args, "batch_size", 1))
-
-    # optional multi-chip inference: batches sharded over the data axis,
-    # backbone optionally tensor-sharded; XLA inserts the ICI collectives
     mesh = None
     encode_fn = None
-    mesh_data = getattr(args, "mesh_data", 0)
-    mesh_model = getattr(args, "mesh_model", 1)
-    mesh_pipe = getattr(args, "mesh_pipe", 1)
+    data_sharding = None
+    shard_params = lambda p: p
     if mesh_pipe > 1 and mesh_model > 1:
         raise SystemExit("--mesh-pipe and --mesh-model both use the model "
                          "mesh axis; pick one")
@@ -118,21 +121,17 @@ def align_records(records, params, mcfg, table, bert, args):
             raise SystemExit(
                 f"--batch-size {batch_size} not divisible by the data axis "
                 f"({mesh.shape['data']})")
-        params = shard_align_params(params, mesh, tp=mesh_model > 1)
+        shard_params = lambda p: shard_align_params(p, mesh, tp=mesh_model > 1)
         data_sharding = batch_sharding(mesh)
         if mesh_pipe > 1:
-            # GPipe-staged encoder: each chip holds 1/N of the layers
+            # GPipe-staged encoder: each chip holds 1/N of the layers. The
+            # microbatch count must divide the per-data-shard batch; prefer
+            # 2 (pipeline overlap), fall back to 1 for odd local batches.
             from lyricalignment_tpu.parallel.pipeline import make_pipeline_encode_fn
 
-            n_micro = batch_size // mesh.shape["data"]
-            encode_fn = make_pipeline_encode_fn(mesh, n_micro=min(2, n_micro))
-
-    # fused path: forward returns the pre-classifier hidden and the Viterbi
-    # computes emissions chunk-wise from the fc weights, so the
-    # [B, T, 21129] logits never hit HBM (--no-fused-align restores the
-    # materialised-logits path)
-    fused = not getattr(args, "no_fused_align", False)
-    head_output = "hidden" if fused else "logits"
+            b_local = batch_size // mesh.shape["data"]
+            encode_fn = make_pipeline_encode_fn(
+                mesh, n_micro=2 if b_local % 2 == 0 else 1)
 
     @jax.jit
     def forward(params, audio, frame_lengths, mel_lengths):
@@ -143,6 +142,41 @@ def align_records(records, params, mcfg, table, bert, args):
                                     align_head_output=head_output,
                                     encode_fn=encode_fn)
         return out
+
+    setup = (forward, mesh, data_sharding, shard_params)
+    _FORWARD_SETUP_CACHE[key] = setup
+    return setup
+
+
+def align_records(records, params, mcfg, table, bert, args):
+    """Yield (record, [[on, off], ...]) in input order.
+
+    Records are grouped by length bucket (one jit compile per bucket) and
+    processed ``batch_size`` at a time within a bucket — the reference
+    aligns one record per step (`inference_alignment.py:145-166`); here a
+    whole batch shares one device round-trip. Batches are always padded to
+    the static ``batch_size`` (pad rows dropped after Viterbi), bounding
+    compile shapes to one per length bucket even under continuous batching.
+    """
+    from lyricalignment_tpu.data.audio_io import audio_num_samples_16k
+
+    mode = "ctc" if args.use_ctc_loss else "ce"
+    batch_size = max(1, getattr(args, "batch_size", 1))
+
+    # fused path: forward returns the pre-classifier hidden and the Viterbi
+    # computes emissions chunk-wise from the fc weights, so the
+    # [B, T, 21129] logits never hit HBM (--no-fused-align restores the
+    # materialised-logits path)
+    fused = not getattr(args, "no_fused_align", False)
+    head_output = "hidden" if fused else "logits"
+
+    # optional multi-chip inference: batches sharded over the data axis,
+    # backbone optionally tensor-sharded; XLA inserts the ICI collectives
+    forward, mesh, data_sharding, shard_params = _forward_setup(
+        mcfg, head_output, batch_size,
+        getattr(args, "mesh_data", 0), getattr(args, "mesh_model", 1),
+        getattr(args, "mesh_pipe", 1))
+    params = shard_params(params)
 
     # group indices by bucketed length (header-only peek, no decode)
     buckets = {}
@@ -155,9 +189,10 @@ def align_records(records, params, mcfg, table, bert, args):
         idxs = buckets[padded_len]
         for start in range(0, len(idxs), batch_size):
             group = idxs[start: start + batch_size]
-            # under a mesh every batch keeps the full static size (pad rows
-            # are dropped after viterbi) so shards stay equal-sized
-            B = batch_size if mesh is not None else len(group)
+            # every batch keeps the full static size (pad rows are dropped
+            # after viterbi): shards stay equal-sized under a mesh, and the
+            # jit cache sees one shape per bucket regardless of backlog
+            B = batch_size
             a = np.zeros((B, padded_len), np.float32)
             labels = np.zeros((B, args.max_label_len), np.int32)
             lens = np.ones((B,), np.int32)

@@ -199,14 +199,28 @@ def _block_out(p: Params, prefix: str, out: Dict[str, np.ndarray]):
     _linear_out(p["mlp_fc2"], f"{prefix}.mlp.2", out)
 
 
-def align_params_to_state_dict(params: Params) -> Dict[str, np.ndarray]:
-    """Export to the reference's ``AlignModel.state_dict()`` naming."""
+def align_params_to_state_dict(params: Params,
+                               n_audio_ctx: int = 1500) -> Dict[str, np.ndarray]:
+    """Export to the reference's ``AlignModel.state_dict()`` naming.
+
+    Includes ``whisper_model.encoder.positional_embedding``: torch registers
+    it as a persistent buffer (whisper AudioEncoder), so it is present in
+    every real checkpoint and a strict ``load_state_dict`` on the reference
+    side requires it. Our params compute the sinusoids in-model, so the
+    buffer is synthesized here (``n_audio_ctx`` is 1500 for every published
+    whisper size).
+    """
+    from lyricalignment_tpu.models.whisper import sinusoid_position_embedding
+
     out: Dict[str, np.ndarray] = {}
     w = params["whisper"]
     out["whisper_model.encoder.conv1.weight"] = np.asarray(w["encoder"]["conv1"]["w"]).copy()
     out["whisper_model.encoder.conv1.bias"] = np.asarray(w["encoder"]["conv1"]["b"]).copy()
     out["whisper_model.encoder.conv2.weight"] = np.asarray(w["encoder"]["conv2"]["w"]).copy()
     out["whisper_model.encoder.conv2.bias"] = np.asarray(w["encoder"]["conv2"]["b"]).copy()
+    d_audio = int(np.asarray(w["encoder"]["conv2"]["w"]).shape[0])
+    out["whisper_model.encoder.positional_embedding"] = (
+        sinusoid_position_embedding(n_audio_ctx, d_audio))
     for i, block in enumerate(w["encoder"]["blocks"]):
         _block_out(block, f"whisper_model.encoder.blocks.{i}", out)
     _ln_out(w["encoder"]["ln_post"], "whisper_model.encoder.ln_post", out)

@@ -31,6 +31,10 @@ decode — while the tight-MAE bound lives in the ce variant and in
 test_e2e_mae_parity (which covers the CTC-mode eval stack exactly).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core host (see CLAUDE.md test lanes)
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -89,3 +89,141 @@ def test_timestamp_decoder_sequences(tmp_path):
     bad = Record("x.wav", "你", [[31.0, 32.0]])
     with pytest.raises(ValueError):
         builder.decoder_sequences(bad)
+
+
+# ---------------------------------------------------------------------------
+# Golden key list: de-circularized naming contract (VERDICT r2 #8)
+# ---------------------------------------------------------------------------
+
+def _golden_whisper_keys(n_audio_layer, n_text_layer):
+    """The exact state-dict key set of a real ``whisper.Whisper`` module,
+    hard-coded from the upstream module structure (AudioEncoder /
+    TextDecoder / ResidualAttentionBlock / MultiHeadAttention) rather than
+    derived from this repo's exporter. ``encoder.positional_embedding`` is a
+    persistent registered buffer, so torch includes it."""
+    keys = {
+        "encoder.conv1.weight", "encoder.conv1.bias",
+        "encoder.conv2.weight", "encoder.conv2.bias",
+        "encoder.positional_embedding",
+        "encoder.ln_post.weight", "encoder.ln_post.bias",
+        "decoder.token_embedding.weight",
+        "decoder.positional_embedding",
+        "decoder.ln.weight", "decoder.ln.bias",
+    }
+
+    def attn(prefix):
+        return {
+            f"{prefix}.query.weight", f"{prefix}.query.bias",
+            f"{prefix}.key.weight",                      # no key bias
+            f"{prefix}.value.weight", f"{prefix}.value.bias",
+            f"{prefix}.out.weight", f"{prefix}.out.bias",
+        }
+
+    for i in range(n_audio_layer):
+        p = f"encoder.blocks.{i}"
+        keys |= attn(f"{p}.attn")
+        keys |= {f"{p}.attn_ln.weight", f"{p}.attn_ln.bias",
+                 f"{p}.mlp_ln.weight", f"{p}.mlp_ln.bias",
+                 f"{p}.mlp.0.weight", f"{p}.mlp.0.bias",
+                 f"{p}.mlp.2.weight", f"{p}.mlp.2.bias"}
+    for i in range(n_text_layer):
+        p = f"decoder.blocks.{i}"
+        keys |= attn(f"{p}.attn") | attn(f"{p}.cross_attn")
+        keys |= {f"{p}.attn_ln.weight", f"{p}.attn_ln.bias",
+                 f"{p}.cross_attn_ln.weight", f"{p}.cross_attn_ln.bias",
+                 f"{p}.mlp_ln.weight", f"{p}.mlp_ln.bias",
+                 f"{p}.mlp.0.weight", f"{p}.mlp.0.bias",
+                 f"{p}.mlp.2.weight", f"{p}.mlp.2.bias"}
+    return keys
+
+
+def _golden_align_rnn_keys(num_layers=2, bidirectional=True):
+    """nn.GRU + nn.Linear naming, hard-coded from torch's parameter layout
+    (verified against torch.nn.GRU(...).state_dict())."""
+    keys = {"align_rnn.fc.weight", "align_rnn.fc.bias"}
+    for layer in range(num_layers):
+        for sfx in ([f"_l{layer}", f"_l{layer}_reverse"] if bidirectional
+                    else [f"_l{layer}"]):
+            for part in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                keys.add(f"align_rnn.rnn.{part}{sfx}")
+    return keys
+
+
+def test_exporter_emits_exact_reference_keys():
+    """Exporter output must be byte-for-byte the reference AlignModel's
+    state-dict key set (whisper-tiny dims: 4+4 layers) — the contract a
+    strict load_state_dict enforces (`inference_alignment.py:120-123`)."""
+    cfg = WhisperConfig(n_mels=80, n_vocab=64, n_audio_ctx=1500,
+                        n_audio_state=32, n_audio_head=4, n_audio_layer=4,
+                        n_text_ctx=12, n_text_state=32, n_text_head=4,
+                        n_text_layer=4)
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    gru_layers = []
+    for _ in range(2):
+        dirs = []
+        for _ in range(2):
+            dirs.append({"w_ih": np.zeros((32, 12)), "w_hh": np.zeros((4, 12)),
+                         "b_ih": np.zeros(12), "b_hh": np.zeros(12)})
+        gru_layers.append({"dirs": dirs})
+    sd = align_params_to_state_dict({
+        "whisper": params,
+        "align_head": {"gru": {"layers": gru_layers},
+                       "fc": {"w": np.zeros((8, 10)), "b": np.zeros(10)}}})
+
+    want = ({f"whisper_model.{k}" for k in _golden_whisper_keys(4, 4)}
+            | _golden_align_rnn_keys())
+    got = set(sd.keys())
+    assert got == want, (
+        f"missing={sorted(want - got)} extra={sorted(got - want)}")
+
+    # torch layout conventions on the exported arrays
+    assert sd["whisper_model.encoder.conv1.weight"].shape == (32, 80, 3)
+    assert sd["whisper_model.encoder.blocks.0.mlp.0.weight"].shape == (128, 32)
+    assert sd["whisper_model.encoder.positional_embedding"].shape == (1500, 32)
+    assert sd["whisper_model.decoder.positional_embedding"].shape == (12, 32)
+    assert sd["align_rnn.rnn.weight_ih_l0"].shape == (12, 32)
+    assert sd["align_rnn.fc.weight"].shape == (10, 8)
+
+
+def test_importer_consumes_exact_reference_keys():
+    """Importer must read a state dict containing EXACTLY the golden keys —
+    any key the importer looks up under a different name would KeyError."""
+    cfg = WhisperConfig(n_mels=80, n_vocab=64, n_audio_ctx=1500,
+                        n_audio_state=32, n_audio_head=4, n_audio_layer=4,
+                        n_text_ctx=12, n_text_state=32, n_text_head=4,
+                        n_text_layer=4)
+    from lyricalignment_tpu.models.whisper import sinusoid_position_embedding
+    from lyricalignment_tpu.models.convert import whisper_params_from_state_dict
+
+    rng = np.random.default_rng(3)
+
+    def shape_for(key):
+        d, mlp = 32, 128
+        if key == "encoder.conv1.weight":
+            return (d, 80, 3)
+        if key == "encoder.conv2.weight":
+            return (d, d, 3)
+        if key == "encoder.positional_embedding":
+            return (1500, d)
+        if key == "decoder.positional_embedding":
+            return (12, d)
+        if key == "decoder.token_embedding.weight":
+            return (64, d)
+        if key.endswith("mlp.0.weight"):
+            return (mlp, d)
+        if key.endswith("mlp.0.bias"):
+            return (mlp,)
+        if key.endswith("mlp.2.weight"):
+            return (d, mlp)
+        if key.endswith(".weight") and ".ln" not in key and "_ln" not in key:
+            return (d, d)
+        return (d,)
+
+    sd = {k: rng.standard_normal(shape_for(k)).astype(np.float32)
+          for k in _golden_whisper_keys(4, 4)}
+    loaded = whisper_params_from_state_dict(sd, cfg)
+    assert len(loaded["encoder"]["blocks"]) == 4
+    assert len(loaded["decoder"]["blocks"]) == 4
+    np.testing.assert_allclose(
+        np.asarray(loaded["decoder"]["blocks"][3]["cross_attn"]["q"]["w"]),
+        sd["decoder.blocks.3.cross_attn.query.weight"].T)

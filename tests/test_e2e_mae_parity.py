@@ -14,6 +14,10 @@ this harness runs the WHOLE pipeline on the same synthetic weights:
 and asserts per-boundary and MAE agreement within the 5 ms budget.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core host (see CLAUDE.md test lanes)
+
 import json
 
 import jax

@@ -8,6 +8,10 @@ JAX initialised with ONE device (no --xla_force_host_platform_device_count),
 then dryrun_multichip(8) is called and must succeed.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core host (see CLAUDE.md test lanes)
+
 import os
 import subprocess
 import sys

@@ -9,6 +9,10 @@ mixture), and a tiny trained aligner shows the paper's headline effect:
 alignment on the vocal stem beats alignment on the mixture.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core host (see CLAUDE.md test lanes)
+
 import os
 
 import jax

@@ -131,3 +131,46 @@ def test_mesh_transcribe_matches_single(tmp_path):
     single = run()
     meshed = run(mesh_data=4, mesh_model=2)
     assert single == meshed
+
+
+def test_mesh_pipe_odd_local_batch(setup):
+    """ADVICE r2: --mesh-pipe with an odd per-data-shard batch (batch 12
+    over data=4 -> b_local=3) must fall back to n_micro=1, not crash in
+    pipeline_blocks."""
+    _, _, records = setup
+    mcfg = AlignModelConfig(
+        whisper=WhisperConfig(n_mels=80, n_vocab=32, n_audio_ctx=1500,
+                              n_audio_state=32, n_audio_head=4, n_audio_layer=2,
+                              n_text_ctx=8, n_text_state=32, n_text_head=4,
+                              n_text_layer=1),
+        hidden_dim=16, output_dim=N_CLASSES + 1,
+        train_alignment=True, train_transcript=False,
+    )
+    params = init_align_model(jax.random.PRNGKey(5), mcfg)
+
+    def run(**mesh_kwargs):
+        args = SimpleNamespace(use_ctc_loss=True, is_mixture=0,
+                               bucket_seconds=4.0, max_label_len=16,
+                               batch_size=12, **mesh_kwargs)
+        return [seg for _, seg in align_records(
+            records, params, mcfg, StubTable(), StubBert(), args)]
+
+    single = run()
+    piped = run(mesh_data=4, mesh_pipe=2)
+    for s, m in zip(single, piped):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(m), atol=1e-4)
+
+
+def test_forward_setup_memoized(setup):
+    """ADVICE r2: repeated align_records calls must reuse one jitted
+    forward (continuous-batching serve path would otherwise retrace the
+    encoder on every batch)."""
+    from lyricalignment_tpu.cli.inference_alignment import _forward_setup
+
+    mcfg, params, records = setup
+    a = _forward_setup(mcfg, "hidden", 4, 0, 1, 1)
+    b = _forward_setup(mcfg, "hidden", 4, 0, 1, 1)
+    assert a is b
+    assert a[0] is b[0]  # the jitted forward itself is shared
+    c = _forward_setup(mcfg, "hidden", 8, 0, 1, 1)
+    assert c is not a

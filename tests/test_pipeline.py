@@ -5,6 +5,10 @@ must be numerically identical to ``encode_audio`` forward AND backward
 (jax.grad through ppermute runs the reverse schedule).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core host (see CLAUDE.md test lanes)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
