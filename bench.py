@@ -274,7 +274,10 @@ def _guarded(fn, *args, **kw):
 def main():
     mode = os.environ.get("BENCH_MODE", "full")
     model_name = os.environ.get("BENCH_MODEL", "medium")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # batch 16 is the measured throughput knee for medium alignment on one
+    # v5e chip (same-run sweep: 1497 -> 2035 audio-s/s going 8 -> 16, flat
+    # at 32 — PARITY.md); BENCH_BATCH restores other operating points
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     clip_seconds = float(os.environ.get("BENCH_SECONDS", "30"))
     longform_seconds = float(os.environ.get("BENCH_LONGFORM_SECONDS", "90"))

@@ -45,9 +45,11 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--bucket-seconds", type=float, default=5.0)
     p.add_argument("--beam-size", type=int, default=5)
-    p.add_argument("--max-batch", type=int, default=8,
+    p.add_argument("--max-batch", type=int, default=16,
                    help="max queued alignment requests fused into one "
-                        "device batch")
+                        "device batch (16 = the measured per-chip "
+                        "throughput knee for whisper-medium: +36%% over "
+                        "batch 8, flat beyond — PARITY.md batch sweep)")
     p.add_argument("--batch-window-ms", type=float, default=0.0,
                    help="after the first request of a batch, wait up to "
                         "this long for more (0 = only drain the backlog)")
@@ -180,6 +182,7 @@ def main():
         bert_vocab=args.bert_vocab, synthetic_vocab=args.synthetic_vocab,
         use_ctc=args.use_ctc_loss, bf16=args.bf16,
         bucket_seconds=args.bucket_seconds,
+        batch_size=max(1, args.max_batch),
     )
     print("ready", file=sys.stderr, flush=True)
     serve(aligner, args)

@@ -2,6 +2,10 @@
 mesh must produce the same boundaries as the single-device run (GSPMD DP +
 Megatron TP over the virtual 8-device CPU mesh)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-mesh compiles, ~9 min on the 1-core host
+
 from types import SimpleNamespace
 
 import jax
