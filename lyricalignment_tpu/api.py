@@ -122,6 +122,7 @@ class LyricAligner:
         language: str = "zh",
         fast_windows: bool = False,
         length_penalty: Optional[float] = None,
+        patience: Optional[float] = None,
         condition_on_previous_text: bool = True,
         temperature_fallback: bool = False,
     ) -> List[str]:
@@ -141,6 +142,7 @@ class LyricAligner:
             max_new_tokens=max_new_tokens, use_groundtruth=False,
             temperature_fallback=temperature_fallback,
             fast_windows=fast_windows, length_penalty=length_penalty,
+            patience=patience,
             no_condition_on_previous_text=not condition_on_previous_text,
             seed=114514,
         )

@@ -58,6 +58,10 @@ def parse_args():
     p.add_argument("--length-penalty", type=float, default=None,
                    help="beam ranking length penalty (Google NMT formula); "
                         "default None = average logprob, whisper's default")
+    p.add_argument("--patience", type=float, default=None,
+                   help="beam search patience (whisper DecodingOptions): "
+                        "keep decoding until round(beam_size * patience) "
+                        "finished candidates exist; default None = 1.0")
     p.add_argument("--no-condition-on-previous-text", action="store_true",
                    help="long-form: do not prompt each window with the "
                         "previous window's text")
@@ -138,6 +142,7 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
                 suppress_ids=suppress_ids,
                 begin_suppress_ids=begin_suppress_ids,
                 length_penalty=args.length_penalty,
+                patience=getattr(args, "patience", None),
                 seed=args.seed,
             )
             longform_texts[ri] = out["text"]
@@ -183,6 +188,7 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
                 suppress_ids=suppress_ids,
                 begin_suppress_ids=begin_suppress_ids,
                 length_penalty=args.length_penalty,
+                patience=getattr(args, "patience", None),
             )
         else:
             tokens = greedy_decode(

@@ -45,6 +45,8 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--bucket-seconds", type=float, default=5.0)
     p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--max-new-tokens", type=int, default=224,
+                   help="decode token budget per 30 s window")
     p.add_argument("--max-batch", type=int, default=16,
                    help="max queued alignment requests fused into one "
                         "device batch (16 = the measured per-chip "
@@ -65,7 +67,8 @@ def _handle_one(aligner, args, req):
         path = req["song_path"]
         if req.get("task") == "transcribe":
             text = aligner.transcribe(
-                path, whisper_bpe=args.whisper_bpe, beam_size=args.beam_size)
+                path, whisper_bpe=args.whisper_bpe, beam_size=args.beam_size,
+                max_new_tokens=getattr(args, "max_new_tokens", 224))
             return {"song_path": path, "inference": text}
         segments = aligner.align(path, req["lyric"])
         return {"song_path": path, "alignment": segments}
@@ -151,7 +154,8 @@ def serve(aligner, args, stdin=None, stdout=None):
             try:
                 texts = aligner.transcribe_many(
                     [reqs[i]["song_path"] for i in trans_idx],
-                    whisper_bpe=args.whisper_bpe, beam_size=args.beam_size)
+                    whisper_bpe=args.whisper_bpe, beam_size=args.beam_size,
+                    max_new_tokens=getattr(args, "max_new_tokens", 224))
                 for i, text in zip(trans_idx, texts):
                     responses[i] = {"song_path": reqs[i]["song_path"],
                                     "inference": text}

@@ -69,11 +69,12 @@ def _encode(params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "beam_size", "max_new_tokens", "eot", "no_speech",
-    "suppress_ids", "begin_suppress_ids", "ts_begin", "length_penalty"))
+    "suppress_ids", "begin_suppress_ids", "ts_begin", "length_penalty",
+    "patience"))
 def _beam_window(params, cfg, xa, prompt, length, sot_index,
                  beam_size, max_new_tokens, eot, no_speech,
                  suppress_ids, begin_suppress_ids, ts_begin,
-                 length_penalty=None):
+                 length_penalty=None, patience=None):
     """One window: prime conditioned prompt + beam search w/ timestamp rules.
 
     Returns (tokens [1, max_new], score [1], no_speech_prob [1])."""
@@ -87,7 +88,7 @@ def _beam_window(params, cfg, xa, prompt, length, sot_index,
     process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids,
                              timestamp_rules=True, ts_begin=ts_begin)
     tokens, score = beam_loop(params, cfg, logits, cache, process, k,
-                              max_new_tokens, eot, length_penalty)
+                              max_new_tokens, eot, length_penalty, patience)
     return tokens, score, ns_prob
 
 
@@ -144,6 +145,7 @@ def transcribe_longform(
     suppress_ids: tuple = (),
     begin_suppress_ids: tuple = (),
     length_penalty: Optional[float] = None,
+    patience: Optional[float] = None,
     max_new_tokens: Optional[int] = None,
     compression_ratio_threshold: float = COMPRESSION_RATIO_THRESHOLD,
     logprob_threshold: float = LOGPROB_THRESHOLD,
@@ -213,7 +215,7 @@ def transcribe_longform(
                     params, cfg, xa, prompt, length, sot_index,
                     beam_size, max_new_tokens, eot, no_speech,
                     suppress_ids, begin_suppress_ids, ts_begin,
-                    length_penalty)
+                    length_penalty, patience)
                 score = float(score[0])
             elif temperature == 0.0:
                 tokens, sum_lp, ns = _greedy_window(

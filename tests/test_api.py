@@ -73,7 +73,7 @@ def test_aligner_transcribe_longform_route(model_dir, tmp_path):
     write_wav(wav, (rng.standard_normal(35 * 16000) * 0.05).astype(np.float32))
 
     aligner = LyricAligner.from_model_dir(model_dir, synthetic_vocab=True)
-    text = aligner.transcribe(wav, beam_size=1)
+    text = aligner.transcribe(wav, beam_size=1, max_new_tokens=12)
     assert isinstance(text, str)
 
     # independent-window fallback also runs

@@ -3,6 +3,10 @@ vs an independent numpy oracle, segment parsing, and the sequential seek
 loop on >30 s synthetic audio (reference behavior: model.transcribe via
 `inference_transcript.py:88-91`)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # sequential-seek integration; minutes on the 1-core host
+
 import jax
 import jax.numpy as jnp
 import numpy as np

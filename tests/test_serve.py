@@ -32,7 +32,8 @@ def aligner(tmp_path_factory):
                            train_transcript=False)
     params = init_align_model(jax.random.PRNGKey(0), cfg)
     save_pytree(str(d / "best_model"), {"params": params, "step": 0})
-    return LyricAligner.from_model_dir(str(d), synthetic_vocab=True, use_ctc=True)
+    return LyricAligner.from_model_dir(str(d), synthetic_vocab=True, use_ctc=True,
+                                       batch_size=4)
 
 
 @pytest.fixture(scope="module")
@@ -49,6 +50,7 @@ def _run(aligner, requests, max_batch=8, window_ms=300.0):
     args = parse_args(["--model-dir", "ignored", "--use-ctc-loss",
                        "--synthetic-vocab",
                        "--max-batch", str(max_batch),
+                       "--beam-size", "2", "--max-new-tokens", "8",
                        "--batch-window-ms", str(window_ms)])
     stdin = io.StringIO("".join(json.dumps(r) + "\n" if isinstance(r, dict)
                                 else r + "\n" for r in requests))

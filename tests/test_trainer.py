@@ -114,6 +114,7 @@ def test_eval_step_no_dropout_deterministic(mcfg, tcfg, rng):
     assert float(a["total"]) == float(b["total"])
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(mcfg, tcfg, rng):
     assert jax.device_count() == 8
     params = init_align_model(jax.random.PRNGKey(0), mcfg)
@@ -131,6 +132,7 @@ def test_data_parallel_matches_single_device(mcfg, tcfg, rng):
     assert float(dp["total"]) == pytest.approx(float(single["total"]), rel=1e-4)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_single_device(mcfg, tcfg, rng):
     params = init_align_model(jax.random.PRNGKey(0), mcfg)
     eval_fn = make_eval_step(mcfg, tcfg)
