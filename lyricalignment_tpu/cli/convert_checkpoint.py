@@ -1,0 +1,129 @@
+"""Checkpoint converter CLI: reference/OpenAI ``.pt`` <-> framework dirs.
+
+The reference trains to ``torch.save(model.state_dict())`` files named
+``{best,best_align,best_trans,last}_model.pt`` next to ``args.json`` /
+``model_args.json`` (`train_multitask.py:461-465,567-585`), and its
+published Zenodo checkpoints use the same layout (README.md:84). This
+framework's CLIs already read those ``.pt`` files on the fly
+(``cli.common.load_model_dir``); this tool materializes conversions:
+
+    # reference AlignModel .pt -> framework model dir (orbax)
+    la-convert import --pt best_model.pt --whisper-model medium \\
+        --output-dir converted --use-ctc-loss
+
+    # raw OpenAI whisper .pt -> framework model dir (random-init head),
+    # the --use-pretrained transcription flow
+    la-convert import-openai --pt medium.pt --output-dir pretrained
+
+    # framework model dir -> reference-named .pt (interop/round-trip)
+    la-convert export --model-dir result --model-name best --pt out.pt
+
+Needs torch on the host (baked into this image) for ``.pt`` IO only; no
+device code runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    imp = sub.add_parser("import", help="reference AlignModel .pt -> model dir")
+    imp.add_argument("--pt", required=True)
+    imp.add_argument("--whisper-model", required=True,
+                     choices=["tiny", "base", "small", "medium", "large", "large-v2"])
+    imp.add_argument("--output-dir", required=True)
+    imp.add_argument("--use-ctc-loss", action="store_true",
+                     help="head output dim 21129 (21128 + CTC blank/silence)")
+    imp.add_argument("--model-name", default="best",
+                     choices=["best", "best_align", "best_trans", "last"])
+
+    impo = sub.add_parser("import-openai",
+                          help="OpenAI whisper .pt -> model dir (random head)")
+    impo.add_argument("--pt", required=True)
+    impo.add_argument("--output-dir", required=True)
+    impo.add_argument("--use-ctc-loss", action="store_true")
+    impo.add_argument("--seed", type=int, default=114514)
+
+    exp = sub.add_parser("export", help="model dir -> reference-named .pt")
+    exp.add_argument("--model-dir", required=True)
+    exp.add_argument("--model-name", default="best",
+                     choices=["best", "best_align", "best_trans", "last"])
+    exp.add_argument("--pt", required=True)
+
+    return p.parse_args(argv)
+
+
+def _write_model_dir(out_dir, whisper_model, use_ctc, params, model_name):
+    from lyricalignment_tpu.train.checkpoints import save_json, save_pytree
+
+    os.makedirs(out_dir, exist_ok=True)
+    output_dim = 21128 + (1 if use_ctc else 0)
+    save_json(os.path.join(out_dir, "args.json"),
+              {"whisper_model": whisper_model, "use_ctc_loss": use_ctc})
+    save_json(os.path.join(out_dir, "model_args.json"), {
+        "embed_dim": {"tiny": 384, "base": 512, "small": 768, "medium": 1024,
+                      "large": 1280, "large-v2": 1280}[whisper_model],
+        "hidden_dim": 384, "output_dim": output_dim, "bidirectional": True,
+        "freeze_encoder": False, "train_alignment": True,
+        "train_transcript": False})
+    save_pytree(os.path.join(out_dir, f"{model_name}_model"),
+                {"params": params, "step": 0})
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    if args.cmd == "import":
+        from lyricalignment_tpu.cli.common import build_model_config
+        from lyricalignment_tpu.models.convert import load_reference_align_checkpoint
+
+        mcfg = build_model_config(
+            args.whisper_model, output_dim=21128 + (1 if args.use_ctc_loss else 0))
+        params = load_reference_align_checkpoint(args.pt, mcfg)
+        _write_model_dir(args.output_dir, args.whisper_model,
+                         args.use_ctc_loss, params, args.model_name)
+        print(f"imported {args.pt} -> {args.output_dir}/{args.model_name}_model")
+        return 0
+
+    if args.cmd == "import-openai":
+        import jax
+
+        from lyricalignment_tpu.cli.common import build_model_config
+        from lyricalignment_tpu.models.align_model import init_align_model
+        from lyricalignment_tpu.models.convert import load_openai_checkpoint
+        from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS
+
+        ckpt_cfg, whisper_params = load_openai_checkpoint(args.pt)
+        name = next((n for n, c in WHISPER_CONFIGS.items()
+                     if (c.n_audio_state, c.n_audio_layer) ==
+                     (ckpt_cfg.n_audio_state, ckpt_cfg.n_audio_layer)), None)
+        if name is None:
+            raise SystemExit(
+                f"checkpoint dims (state={ckpt_cfg.n_audio_state}, "
+                f"layers={ckpt_cfg.n_audio_layer}) match no known whisper size")
+        mcfg = build_model_config(
+            name, output_dim=21128 + (1 if args.use_ctc_loss else 0))
+        params = init_align_model(jax.random.PRNGKey(args.seed), mcfg)
+        params["whisper"] = whisper_params
+        _write_model_dir(args.output_dir, name, args.use_ctc_loss, params, "best")
+        print(f"imported OpenAI {name} {args.pt} -> {args.output_dir}/best_model")
+        return 0
+
+    # export
+    from lyricalignment_tpu.cli.common import load_model_dir
+    from lyricalignment_tpu.train.checkpoints import export_reference_pt
+
+    _, params, _ = load_model_dir(args.model_dir, args.model_name)
+    os.makedirs(os.path.dirname(os.path.abspath(args.pt)), exist_ok=True)
+    export_reference_pt(params, args.pt)
+    print(f"exported {args.model_dir}/{args.model_name}_model -> {args.pt}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

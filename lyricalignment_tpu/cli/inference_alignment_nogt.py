@@ -25,6 +25,9 @@ def parse_args():
                    choices=["best", "best_align", "best_trans", "last"])
     p.add_argument("--is-mixture", type=int, choices=[0, 1, 2], default=0)
     p.add_argument("--use-ctc-loss", action="store_true")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="records aligned per device pass (16 = the measured "
+                        "medium-model throughput knee on one chip)")
     p.add_argument("--seed", type=int, default=114514)
     p.add_argument("--bucket-seconds", type=float, default=5.0)
     p.add_argument("--bf16", action="store_true")
