@@ -212,12 +212,17 @@ class _NoTextTokenizer:
         return ""
 
 
-def bench_longform(model_name, seconds, iters, beam_size=5):
+def bench_longform(model_name, seconds, iters, beam_size=5,
+                   max_new_tokens=64):
     """BASELINE config 5: >30 s audio through whisper's sequential seek loop
     (`decode.longform`), audio-s/s/chip. Quality gates disabled so random
     weights don't trigger temperature-fallback cascades — the measured path
     is encode + conditioned-prompt priming + beam windows + seek arithmetic,
-    including the real per-window host round-trips."""
+    including the real per-window host round-trips. The per-window token
+    budget is capped at 64 (matching the transcribe bench and a realistic
+    lyric window): random weights never emit eot, so an uncapped window
+    would decode the full 221-token context every time and measure the
+    worst case instead of the orchestration."""
     import jax
 
     from lyricalignment_tpu.decode.longform import transcribe_longform
@@ -233,6 +238,7 @@ def bench_longform(model_name, seconds, iters, beam_size=5):
         return transcribe_longform(
             params["whisper"], mcfg.whisper, audio, tok,
             beam_size=beam_size, temperatures=(0.0,),
+            max_new_tokens=max_new_tokens,
             compression_ratio_threshold=1e9, logprob_threshold=-1e9,
             no_speech_threshold=2.0)
 
