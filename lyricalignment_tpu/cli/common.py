@@ -78,6 +78,7 @@ def build_model_config(
     train_alignment: bool = True,
     train_transcript: bool = False,
     fast_gelu: bool = False,
+    int8_encoder: bool = False,
 ) -> AlignModelConfig:
     import jax.numpy as jnp
 
@@ -86,6 +87,8 @@ def build_model_config(
         wcfg = dataclasses.replace(wcfg, compute_dtype=jnp.bfloat16)
     if fast_gelu:
         wcfg = dataclasses.replace(wcfg, fast_gelu=True)
+    if int8_encoder:
+        wcfg = dataclasses.replace(wcfg, int8_encoder=True)
     return AlignModelConfig(
         whisper=wcfg,
         hidden_dim=384,
@@ -116,7 +119,7 @@ def init_params(args, mcfg: AlignModelConfig, seed: int):
 
 def load_model_dir(
     model_dir: str, model_name: str = "best", use_bf16: bool = False,
-    fast_gelu: bool = False,
+    fast_gelu: bool = False, int8_encoder: bool = False,
 ) -> Tuple[AlignModelConfig, Any, Dict]:
     """Load a trained model dir (args.json + model_args.json + checkpoints).
 
@@ -132,6 +135,7 @@ def load_model_dir(
         output_dim=model_args["output_dim"],
         use_bf16=use_bf16,
         fast_gelu=fast_gelu,
+        int8_encoder=int8_encoder,
         freeze_encoder=model_args.get("freeze_encoder", False),
         train_alignment=model_args.get("train_alignment", True),
         train_transcript=model_args.get("train_transcript", False),

@@ -52,6 +52,9 @@ def parse_args():
     p.add_argument("--fast-gelu", action="store_true",
                    help="tanh-approximate encoder GELU (error below "
                         "bf16 rounding); ~15%% faster encoder on TPU")
+    p.add_argument("--int8-encoder", action="store_true",
+                   help="W8A8 dynamic int8 encoder matmuls (v5e int8 MXU; "
+                        "~1%% relative quantization error, inference only)")
     p.add_argument("--max-label-len", type=int, default=128)
     p.add_argument("--no-fused-align", action="store_true",
                    help="materialise the full [B, T, 21129] logits instead "
@@ -244,7 +247,7 @@ def main():
     assert os.path.exists(args.model_dir)
     assert os.path.exists(args.test_data)
 
-    mcfg, params, _ = load_model_dir(args.model_dir, args.model_name, use_bf16=args.bf16, fast_gelu=args.fast_gelu)
+    mcfg, params, _ = load_model_dir(args.model_dir, args.model_name, use_bf16=args.bf16, fast_gelu=args.fast_gelu, int8_encoder=args.int8_encoder)
     bert, _ = build_tokenizers(args)
     table = load_pronunciation_table()
     records = [r for r in read_data(args.test_data)]

@@ -57,6 +57,15 @@ class WhisperConfig:
     # the reference. The decoder always uses exact GELU (negligible cost
     # in the weight-bound decode loop).
     fast_gelu: bool = False
+    # W8A8 dynamic int8 quantization of the ENCODER matmuls (attention
+    # q/k/v/out projections + both MLP layers): activations are quantized
+    # per token (absmax over the feature axis), weights per output channel,
+    # and the contraction runs int8xint8->int32 — the v5e MXU's int8 mode
+    # has ~2x the bf16 peak, and the encoder is matmul-bound. INFERENCE
+    # ONLY (round() has zero gradient); the conv stem, LayerNorms, softmax
+    # and the whole decoder stay in compute_dtype. Opt-in because the
+    # quantization error (~1% relative per matmul) is above bf16 rounding.
+    int8_encoder: bool = False
 
     @property
     def is_multilingual(self) -> bool:
@@ -195,6 +204,34 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _quantize_int8(x: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric absmax int8 quantization along ``axis``.
+
+    Returns (q int8, scale f32 with ``axis`` kept as 1) such that
+    ``q * scale ~= x``."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+def _linear_int8(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 dynamic-quantized linear: per-token activation scales x
+    per-output-channel weight scales, int8xint8->int32 contraction on the
+    MXU, f32 rescale + bias. Inference only (zero gradient through round)."""
+    xq, xs = _quantize_int8(x, axis=-1)                 # [..., in], [..., 1]
+    wq, ws = _quantize_int8(p["w"], axis=0)             # [in, out], [1, out]
+    y = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (xs * ws)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
     b, t, d = x.shape
     return x.reshape(b, t, n_head, d // n_head)
@@ -208,20 +245,23 @@ def _attention(
     mask: Optional[jnp.ndarray] = None,
     kv_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     fast_softmax: bool = False,
+    int8: bool = False,
 ) -> jnp.ndarray:
     """Multi-head attention. ``xa`` switches to cross-attention; a
     ``kv_override`` (pre-projected K/V) bypasses the projections — used for
-    cached decoding."""
+    cached decoding. ``int8`` runs the four projections W8A8-quantized
+    (encoder inference path)."""
     d = x.shape[-1]
     scale = (d // n_head) ** -0.25
+    lin = _linear_int8 if int8 else _linear
 
-    q = _split_heads(_linear(p["q"], x), n_head) * scale
+    q = _split_heads(lin(p["q"], x), n_head) * scale
     if kv_override is not None:
         k, v = kv_override
     else:
         src = x if xa is None else xa
-        k = _split_heads(_linear(p["k"], src), n_head)
-        v = _split_heads(_linear(p["v"], src), n_head)
+        k = _split_heads(lin(p["k"], src), n_head)
+        v = _split_heads(lin(p["v"], src), n_head)
 
     if mask is None and xa is None and kv_override is None:
         # encoder self-attention: flash kernel on TPU (einsum materialises
@@ -229,7 +269,7 @@ def _attention(
         from lyricalignment_tpu.ops.attention import self_attention
 
         out = self_attention(q, k * scale, v, sm_scale=1.0)
-        return _linear(p["out"], out.reshape(x.shape[0], x.shape[1], d))
+        return lin(p["out"], out.reshape(x.shape[0], x.shape[1], d))
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k * scale)
     if mask is not None:
@@ -242,17 +282,21 @@ def _attention(
     return _linear(p["out"], out.reshape(x.shape[0], x.shape[1], d))
 
 
-def _mlp(block: Params, x: jnp.ndarray, fast_gelu: bool = False) -> jnp.ndarray:
-    h = jax.nn.gelu(_linear(block["mlp_fc1"], x), approximate=fast_gelu)
-    return _linear(block["mlp_fc2"], h)
+def _mlp(block: Params, x: jnp.ndarray, fast_gelu: bool = False,
+         int8: bool = False) -> jnp.ndarray:
+    lin = _linear_int8 if int8 else _linear
+    h = jax.nn.gelu(lin(block["mlp_fc1"], x), approximate=fast_gelu)
+    return lin(block["mlp_fc2"], h)
 
 
 def _encoder_block(block: Params, x: jnp.ndarray, n_head: int,
                    fast_softmax: bool = False,
-                   fast_gelu: bool = False) -> jnp.ndarray:
+                   fast_gelu: bool = False,
+                   int8: bool = False) -> jnp.ndarray:
     x = x + _attention(block["attn"], _layer_norm(block["attn_ln"], x), None,
-                       n_head, fast_softmax=fast_softmax)
-    x = x + _mlp(block, _layer_norm(block["mlp_ln"], x), fast_gelu=fast_gelu)
+                       n_head, fast_softmax=fast_softmax, int8=int8)
+    x = x + _mlp(block, _layer_norm(block["mlp_ln"], x), fast_gelu=fast_gelu,
+                 int8=int8)
     return x
 
 
@@ -300,11 +344,12 @@ def encode_audio(
 
     block_fn = _encoder_block
     if remat:
-        block_fn = jax.checkpoint(_encoder_block, static_argnums=(2, 3, 4))
+        block_fn = jax.checkpoint(_encoder_block, static_argnums=(2, 3, 4, 5))
     if sequence_sharding is not None:
         x = jax.lax.with_sharding_constraint(x, sequence_sharding)
     for block in enc["blocks"]:
-        x = block_fn(block, x, cfg.n_audio_head, cfg.fast_softmax, cfg.fast_gelu)
+        x = block_fn(block, x, cfg.n_audio_head, cfg.fast_softmax,
+                     cfg.fast_gelu, cfg.int8_encoder)
         if sequence_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, sequence_sharding)
 

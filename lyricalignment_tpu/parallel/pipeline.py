@@ -66,7 +66,7 @@ def place_pipeline_params(stacked: Dict, mesh: Mesh,
 
 
 def _stage_and_tick_loop(stacked_local, x_micro, n_head, fast_softmax,
-                         fast_gelu, n_stages, pipe_axis, remat):
+                         fast_gelu, int8, n_stages, pipe_axis, remat):
     """Runs inside shard_map on ONE pipe member.
 
     stacked_local: block leaves [1, L/S, ...] (this stage's layers);
@@ -81,11 +81,11 @@ def _stage_and_tick_loop(stacked_local, x_micro, n_head, fast_softmax,
 
     block_fn = _encoder_block
     if remat:
-        block_fn = jax.checkpoint(_encoder_block, static_argnums=(2, 3, 4))
+        block_fn = jax.checkpoint(_encoder_block, static_argnums=(2, 3, 4, 5))
 
     def stage_fn(x):
         def layer(c, blk):
-            return block_fn(blk, c, n_head, fast_softmax, fast_gelu), None
+            return block_fn(blk, c, n_head, fast_softmax, fast_gelu, int8), None
         y, _ = jax.lax.scan(layer, x, local_blocks)
         return y
 
@@ -144,7 +144,7 @@ def pipeline_blocks(
         xm = x_local.reshape((n_micro, -1) + x_local.shape[1:])
         out = _stage_and_tick_loop(
             stacked_local, xm, cfg.n_audio_head, cfg.fast_softmax,
-            cfg.fast_gelu, n_stages, pipe_axis, remat)
+            cfg.fast_gelu, cfg.int8_encoder, n_stages, pipe_axis, remat)
         return out.reshape(x_local.shape)
 
     param_specs = jax.tree_util.tree_map(lambda _: P(pipe_axis), stacked)

@@ -116,3 +116,43 @@ def test_fast_gelu_close_to_exact(rng):
         params, dataclasses.replace(cfg, fast_gelu=True), mel))
     assert np.abs(exact - fast).max() < 2e-2
     assert np.sqrt(((exact - fast) ** 2).mean()) < 2e-3
+
+
+def test_quantize_int8_roundtrip(rng):
+    """Symmetric absmax quantization: q*scale reconstructs x within half a
+    quantization step (amax/127/2) per element, exactly at the absmax."""
+    from lyricalignment_tpu.models.whisper import _quantize_int8
+
+    x = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32) * 3.0)
+    q, scale = _quantize_int8(x, axis=-1)
+    assert q.dtype == jnp.int8
+    recon = np.asarray(q.astype(np.float32) * scale)
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    step = amax / 127.0
+    assert (np.abs(recon - np.asarray(x)) <= step / 2 + 1e-7).all()
+    # the absmax element maps exactly to +/-127
+    assert (np.abs(q).max(axis=-1) == 127).all()
+
+
+def test_int8_encoder_close_to_f32(tiny_cfg, params, rng):
+    """W8A8 dynamic int8 encoder (per-token activation x per-channel weight
+    scales) stays within ~1% relative error of the f32 encoder — above bf16
+    rounding, hence opt-in; see WhisperConfig.int8_encoder."""
+    import dataclasses
+
+    mel = jnp.asarray(rng.standard_normal((2, 80, 100)).astype(np.float32))
+    f32 = np.asarray(encode_audio(params, tiny_cfg, mel), dtype=np.float64)
+    q8 = np.asarray(encode_audio(
+        params, dataclasses.replace(tiny_cfg, int8_encoder=True), mel),
+        dtype=np.float64)
+    rel_l2 = np.linalg.norm(q8 - f32) / np.linalg.norm(f32)
+    cos = (q8 * f32).sum() / (np.linalg.norm(q8) * np.linalg.norm(f32))
+    assert rel_l2 < 0.02, rel_l2
+    assert cos > 0.999, cos
+    # decoder is untouched by the flag: same tokens -> identical logits
+    tokens = jnp.asarray(rng.integers(0, 128, size=(2, 5)).astype(np.int32))
+    xa = encode_audio(params, tiny_cfg, mel)
+    base = np.asarray(decoder_logits(params, tiny_cfg, tokens, xa))
+    flag = np.asarray(decoder_logits(
+        params, dataclasses.replace(tiny_cfg, int8_encoder=True), tokens, xa))
+    np.testing.assert_array_equal(base, flag)
