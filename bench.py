@@ -40,17 +40,32 @@ BASELINE_RTF = 50.0  # x real-time per chip (BASELINE.json north star)
 MAX_LABELS = 48  # typical Opencpop utterance length upper bound
 
 
-def _mcfg(model_name):
+def _mcfg(model_name, inference=True):
     import jax.numpy as jnp
 
     from lyricalignment_tpu.models.align_model import AlignModelConfig
     from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS
 
     # bf16 compute + tanh GELU: the gelu approximation error (<= 3e-3) is
-    # below the bf16 rounding already accepted on this path
+    # below the bf16 rounding already accepted on this path. Inference also
+    # takes the pad-once one-pass attention encoder (same bf16-rounding
+    # error class as the flash path, ~20% faster encoder at medium B=16);
+    # training keeps the flash kernel's tuned backward.
     wcfg = dataclasses.replace(WHISPER_CONFIGS[model_name],
-                               compute_dtype=jnp.bfloat16, fast_gelu=True)
+                               compute_dtype=jnp.bfloat16, fast_gelu=True,
+                               onepass_encoder=inference)
     return AlignModelConfig(whisper=wcfg, hidden_dim=384, output_dim=21128 + 1)
+
+
+def _bf16_resident(whisper_params):
+    """bf16-resident whisper weights: numerics identical to the per-op cast
+    the bf16 compute path already does, half the weight-stream bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 and x.ndim >= 2 else x, whisper_params)
 
 
 def bench_align(model_name, batch, iters, clip_seconds):
@@ -67,6 +82,7 @@ def bench_align(model_name, batch, iters, clip_seconds):
 
     mcfg = _mcfg(model_name)
     params = init_align_model(jax.random.PRNGKey(0), mcfg)
+    params["whisper"] = _bf16_resident(params["whisper"])
     n_samples = int(clip_seconds * 16000)
 
     @jax.jit
@@ -126,7 +142,7 @@ def bench_transcribe(model_name, batch, iters, clip_seconds, beam_size=5,
     @jax.jit
     def transcribe_batch(dparams, params, audio):
         mel = pad_or_trim(log_mel(audio), N_FRAMES)
-        xa = encode_audio(params["whisper"], mcfg.whisper, mel)
+        xa = encode_audio(dparams, mcfg.whisper, mel)
         toks, _ = beam_search(dparams, mcfg.whisper, xa, prompt,
                               beam_size=beam_size,
                               max_new_tokens=max_new_tokens, eot=wt.eot)
@@ -153,7 +169,7 @@ def bench_train(model_name, iters, clip_seconds):
     from lyricalignment_tpu.train.trainer import (
         TrainConfig, init_train_state, make_train_step)
 
-    mcfg = _mcfg(model_name)
+    mcfg = _mcfg(model_name, inference=False)
     mcfg_t = dataclasses.replace(mcfg, train_transcript=True)
     params = init_align_model(jax.random.PRNGKey(0), mcfg_t)
     n_samples = int(clip_seconds * 16000)
@@ -230,6 +246,7 @@ def bench_longform(model_name, seconds, iters, beam_size=5,
 
     mcfg = _mcfg(model_name)
     params = init_align_model(jax.random.PRNGKey(0), mcfg)
+    params["whisper"] = _bf16_resident(params["whisper"])
     tok = _NoTextTokenizer()
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(int(seconds * 16000)) * 0.1).astype(np.float32)

@@ -79,6 +79,7 @@ def build_model_config(
     train_transcript: bool = False,
     fast_gelu: bool = False,
     int8_encoder: bool = False,
+    onepass_encoder: bool = False,
 ) -> AlignModelConfig:
     import jax.numpy as jnp
 
@@ -89,6 +90,8 @@ def build_model_config(
         wcfg = dataclasses.replace(wcfg, fast_gelu=True)
     if int8_encoder:
         wcfg = dataclasses.replace(wcfg, int8_encoder=True)
+    if onepass_encoder:
+        wcfg = dataclasses.replace(wcfg, onepass_encoder=True)
     return AlignModelConfig(
         whisper=wcfg,
         hidden_dim=384,
@@ -120,12 +123,20 @@ def init_params(args, mcfg: AlignModelConfig, seed: int):
 def load_model_dir(
     model_dir: str, model_name: str = "best", use_bf16: bool = False,
     fast_gelu: bool = False, int8_encoder: bool = False,
+    onepass_encoder: bool = True,
 ) -> Tuple[AlignModelConfig, Any, Dict]:
     """Load a trained model dir (args.json + model_args.json + checkpoints).
 
     Accepts orbax checkpoint dirs (``{name}_model/``) produced by this
     framework, or reference ``.pt`` state dicts (``{name}_model.pt``)
     converted on the fly.
+
+    ``onepass_encoder`` defaults ON (inference entry point): the pad-once
+    single-pass attention path is numerically equivalent to the flash path
+    (same bf16-rounding error class vs f32, PARITY.md) and ~20% faster at
+    medium B=16. Under ``use_bf16`` the whisper weights are also made
+    bf16-RESIDENT — numerics are identical to the per-op cast the compute
+    path already does, but each forward streams half the weight bytes.
     """
     train_args = load_json(os.path.join(model_dir, "args.json"))
     model_args = load_json(os.path.join(model_dir, "model_args.json"))
@@ -136,6 +147,7 @@ def load_model_dir(
         use_bf16=use_bf16,
         fast_gelu=fast_gelu,
         int8_encoder=int8_encoder,
+        onepass_encoder=onepass_encoder,
         freeze_encoder=model_args.get("freeze_encoder", False),
         train_alignment=model_args.get("train_alignment", True),
         train_transcript=model_args.get("train_transcript", False),
@@ -152,4 +164,13 @@ def load_model_dir(
         params = load_reference_align_checkpoint(pt_path, mcfg)
     else:
         raise FileNotFoundError(f"No checkpoint {orbax_path}[.pt]")
+    if use_bf16 and isinstance(params, dict) and "whisper" in params:
+        import jax
+        import jax.numpy as jnp
+
+        params = dict(params)
+        params["whisper"] = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if getattr(x, "dtype", None) == jnp.float32 and x.ndim >= 2 else x,
+            params["whisper"])
     return mcfg, params, train_args

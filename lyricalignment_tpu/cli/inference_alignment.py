@@ -106,6 +106,14 @@ def _forward_setup(mcfg, head_output, batch_size, mesh_data, mesh_model,
     encode_fn = None
     data_sharding = None
     shard_params = lambda p: p
+    if (mesh_data or mesh_model > 1 or mesh_pipe > 1) \
+            and mcfg.whisper.onepass_encoder:
+        # multi-chip runs keep the GSPMD-validated flash path; the pad-once
+        # pallas kernel is single-device (see WhisperConfig.onepass_encoder)
+        import dataclasses as _dc
+
+        mcfg = _dc.replace(
+            mcfg, whisper=_dc.replace(mcfg.whisper, onepass_encoder=False))
     if mesh_pipe > 1 and mesh_model > 1:
         raise SystemExit("--mesh-pipe and --mesh-model both use the model "
                          "mesh axis; pick one")

@@ -100,6 +100,12 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
     mesh = None
     mesh_data = getattr(args, "mesh_data", 0)
     mesh_model = getattr(args, "mesh_model", 1)
+    if (mesh_data or mesh_model > 1) and wcfg.onepass_encoder:
+        # multi-chip runs keep the GSPMD-validated flash path; the pad-once
+        # pallas kernel is single-device (see WhisperConfig.onepass_encoder)
+        import dataclasses as _dc
+
+        wcfg = _dc.replace(wcfg, onepass_encoder=False)
     if mesh_data or mesh_model > 1:
         from lyricalignment_tpu.parallel.mesh import (
             batch_sharding,

@@ -66,6 +66,18 @@ class WhisperConfig:
     # and the whole decoder stay in compute_dtype. Opt-in because the
     # quantization error (~1% relative per matmul) is above bf16 rounding.
     int8_encoder: bool = False
+    # Pad-once encoder: pad the residual stream to a lane-aligned T right
+    # after the conv stem and run every block's self-attention through the
+    # single-pass kernel (`ops/attention.py:onepass_self_attention`) with
+    # an additive key bias masking the pad — instead of the per-layer
+    # pad -> segment-ids -> unpad the flash kernel path pays. Numerically
+    # identical to the flash path to bf16 rounding (f32 softmax; pad fully
+    # masked). ~0.4 ms/layer faster at medium B=16 (same-run A/B,
+    # PARITY.md). Differentiable (einsum-recompute VJP) but the flash
+    # kernel's tuned backward is faster for training, hence opt-in;
+    # ignored under `sequence_sharding` (the kernel needs the full T on
+    # one device).
+    onepass_encoder: bool = False
 
     @property
     def is_multilingual(self) -> bool:
@@ -246,11 +258,13 @@ def _attention(
     kv_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     fast_softmax: bool = False,
     int8: bool = False,
+    key_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Multi-head attention. ``xa`` switches to cross-attention; a
     ``kv_override`` (pre-projected K/V) bypasses the projections — used for
     cached decoding. ``int8`` runs the four projections W8A8-quantized
-    (encoder inference path)."""
+    (encoder inference path). ``key_bias`` [1, T] routes encoder
+    self-attention through the single-pass pad-once kernel."""
     d = x.shape[-1]
     scale = (d // n_head) ** -0.25
     lin = _linear_int8 if int8 else _linear
@@ -262,6 +276,13 @@ def _attention(
         src = x if xa is None else xa
         k = _split_heads(lin(p["k"], src), n_head)
         v = _split_heads(lin(p["v"], src), n_head)
+
+    if mask is None and xa is None and kv_override is None and key_bias is not None:
+        # pad-once encoder path: single-pass kernel, pad keys masked by bias
+        from lyricalignment_tpu.ops.attention import onepass_self_attention
+
+        out = onepass_self_attention(q, k * scale, v, key_bias)
+        return lin(p["out"], out.reshape(x.shape[0], x.shape[1], d))
 
     if mask is None and xa is None and kv_override is None:
         # encoder self-attention: flash kernel on TPU (einsum materialises
@@ -292,9 +313,11 @@ def _mlp(block: Params, x: jnp.ndarray, fast_gelu: bool = False,
 def _encoder_block(block: Params, x: jnp.ndarray, n_head: int,
                    fast_softmax: bool = False,
                    fast_gelu: bool = False,
-                   int8: bool = False) -> jnp.ndarray:
+                   int8: bool = False,
+                   key_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     x = x + _attention(block["attn"], _layer_norm(block["attn_ln"], x), None,
-                       n_head, fast_softmax=fast_softmax, int8=int8)
+                       n_head, fast_softmax=fast_softmax, int8=int8,
+                       key_bias=key_bias)
     x = x + _mlp(block, _layer_norm(block["mlp_ln"], x), fast_gelu=fast_gelu,
                  int8=int8)
     return x
@@ -342,6 +365,20 @@ def encode_audio(
     enc = params["encoder"]
     x = _encoder_stem(enc, cfg, mel)
 
+    # pad-once path: lane-align T after the stem and mask pad KEYS with an
+    # additive bias, so no block pays per-layer pad/segment-ids/unpad (the
+    # single-pass kernel consumes the bias; LN/MLP are position-wise so pad
+    # rows never contaminate real ones). Disabled under sequence sharding
+    # — the kernel wants the full T on one device.
+    t_real = x.shape[1]
+    key_bias = None
+    if cfg.onepass_encoder and sequence_sharding is None:
+        t_pad = -(-t_real // 128) * 128
+        if t_pad != t_real:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t_real), (0, 0)))
+        key_bias = jnp.where(jnp.arange(t_pad)[None, :] < t_real,
+                             0.0, -1e9).astype(jnp.float32)
+
     block_fn = _encoder_block
     if remat:
         block_fn = jax.checkpoint(_encoder_block, static_argnums=(2, 3, 4, 5))
@@ -349,10 +386,12 @@ def encode_audio(
         x = jax.lax.with_sharding_constraint(x, sequence_sharding)
     for block in enc["blocks"]:
         x = block_fn(block, x, cfg.n_audio_head, cfg.fast_softmax,
-                     cfg.fast_gelu, cfg.int8_encoder)
+                     cfg.fast_gelu, cfg.int8_encoder, key_bias)
         if sequence_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, sequence_sharding)
 
+    if key_bias is not None and x.shape[1] != t_real:
+        x = x[:, :t_real]
     return _layer_norm(enc["ln_post"], x)
 
 

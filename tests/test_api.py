@@ -80,3 +80,26 @@ def test_aligner_transcribe_longform_route(model_dir, tmp_path):
     text2 = aligner.transcribe(wav, beam_size=1, fast_windows=True,
                                max_new_tokens=8)
     assert isinstance(text2, str)
+
+
+def test_load_model_dir_bf16_resident_weights(model_dir):
+    """--bf16 makes the whisper weights bf16-RESIDENT (half the per-forward
+    weight stream; numerics identical to the per-op cast) while the align
+    head stays f32; default load also turns on the one-pass encoder."""
+    import jax.numpy as jnp
+
+    from lyricalignment_tpu.cli.common import load_model_dir
+
+    mcfg, params, _ = load_model_dir(model_dir, use_bf16=True)
+    assert mcfg.whisper.compute_dtype == jnp.bfloat16
+    assert mcfg.whisper.onepass_encoder
+    w_leaves = jax.tree_util.tree_leaves(params["whisper"])
+    assert all(x.dtype == jnp.bfloat16 for x in w_leaves if x.ndim >= 2)
+    h_leaves = jax.tree_util.tree_leaves(params["align_head"])
+    assert all(x.dtype != jnp.bfloat16 for x in h_leaves)
+
+    mcfg32, params32, _ = load_model_dir(model_dir)  # no bf16: untouched
+    assert mcfg32.whisper.compute_dtype == jnp.float32
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(params32["whisper"])
+               if x.ndim >= 2)

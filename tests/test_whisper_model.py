@@ -118,6 +118,65 @@ def test_fast_gelu_close_to_exact(rng):
     assert np.sqrt(((exact - fast) ** 2).mean()) < 2e-3
 
 
+def test_onepass_encoder_matches_standard(tiny_cfg, params, rng):
+    """Pad-once one-pass encoder (T=50 padded to 128, pad keys masked by
+    additive bias) must match the standard path exactly in f32 — on CPU
+    both reduce to einsum attention, so any mismatch is a masking bug."""
+    import dataclasses
+
+    mel = jnp.asarray(rng.standard_normal((2, 80, 100)).astype(np.float32))
+    ref = np.asarray(encode_audio(params, tiny_cfg, mel))
+    cfg1 = dataclasses.replace(tiny_cfg, onepass_encoder=True)
+    got = np.asarray(encode_audio(params, cfg1, mel))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+    # remat variant traces the checkpointed block with the extra bias arg
+    got_r = np.asarray(encode_audio(params, cfg1, mel, remat=True))
+    np.testing.assert_allclose(got_r, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_onepass_encoder_grad_matches(tiny_cfg, params, rng):
+    """The custom-VJP (einsum-recompute) backward must agree with the
+    standard path's gradients — training through onepass is correct."""
+    import dataclasses
+
+    mel = jnp.asarray(rng.standard_normal((1, 80, 100)).astype(np.float32))
+    cfg1 = dataclasses.replace(tiny_cfg, onepass_encoder=True)
+
+    def loss(p, cfg):
+        return (encode_audio(p, cfg, mel) ** 2).sum()
+
+    g_ref = jax.grad(lambda p: loss(p, tiny_cfg))(params)
+    g_got = jax.grad(lambda p: loss(p, cfg1))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-3, rtol=1e-4)
+
+
+def test_onepass_kernel_masks_pad_keys(rng):
+    """onepass_self_attention with a -1e9 bias on pad keys must equal
+    attention computed on the unpadded sequence alone."""
+    from lyricalignment_tpu.ops.attention import onepass_self_attention
+
+    B, T_real, T_pad, H, Dh = 2, 100, 128, 4, 16
+    x = rng.standard_normal((B, T_real, H, Dh)).astype(np.float32)
+    xp = np.zeros((B, T_pad, H, Dh), np.float32)
+    xp[:, :T_real] = x
+    bias = np.where(np.arange(T_pad) < T_real, 0.0, -1e9
+                    ).astype(np.float32)[None]
+
+    got = np.asarray(onepass_self_attention(
+        jnp.asarray(xp), jnp.asarray(xp), jnp.asarray(xp),
+        jnp.asarray(bias)))[:, :T_real]
+
+    # reference: plain softmax attention on the REAL tokens only
+    q = jnp.asarray(x)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, q)
+    w = jax.nn.softmax(logits, axis=-1)
+    want = np.asarray(jnp.einsum("bhqk,bkhd->bqhd", w, q))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_quantize_int8_roundtrip(rng):
     """Symmetric absmax quantization: q*scale reconstructs x within half a
     quantization step (amax/127/2) per element, exactly at the absmax."""
