@@ -229,7 +229,7 @@ class _NoTextTokenizer:
 
 
 def bench_longform(model_name, seconds, iters, beam_size=5,
-                   max_new_tokens=64):
+                   max_new_tokens=64, batch=None):
     """BASELINE config 5: >30 s audio through whisper's sequential seek loop
     (`decode.longform`), audio-s/s/chip. Quality gates disabled so random
     weights don't trigger temperature-fallback cascades — the measured path
@@ -238,22 +238,42 @@ def bench_longform(model_name, seconds, iters, beam_size=5,
     budget is capped at 64 (matching the transcribe bench and a realistic
     lyric window): random weights never emit eot, so an uncapped window
     would decode the full 221-token context every time and measure the
-    worst case instead of the orchestration."""
+    worst case instead of the orchestration.
+
+    ``batch`` (BENCH_LONGFORM_BATCH, default 8) songs advance their seek
+    loops in lockstep through ``transcribe_longform_batched`` — the round-3
+    serving operating point, where every window round is ONE batched
+    decode. BENCH_LONGFORM_BATCH=1 measures the single-song loop (the
+    round-2 number's semantics)."""
     import jax
 
-    from lyricalignment_tpu.decode.longform import transcribe_longform
+    from lyricalignment_tpu.decode.longform import (
+        transcribe_longform,
+        transcribe_longform_batched,
+    )
     from lyricalignment_tpu.models.align_model import init_align_model
 
+    if batch is None:
+        batch = int(os.environ.get("BENCH_LONGFORM_BATCH", "8"))
     mcfg = _mcfg(model_name)
     params = init_align_model(jax.random.PRNGKey(0), mcfg)
     params["whisper"] = _bf16_resident(params["whisper"])
     tok = _NoTextTokenizer()
     rng = np.random.default_rng(0)
-    audio = (rng.standard_normal(int(seconds * 16000)) * 0.1).astype(np.float32)
+    audios = [(rng.standard_normal(int(seconds * 16000)) * 0.1).astype(np.float32)
+              for _ in range(max(batch, 1))]
 
     def run():
+        if batch > 1:
+            return transcribe_longform_batched(
+                params["whisper"], mcfg.whisper, audios, tok,
+                batch_size=batch,
+                beam_size=beam_size, temperatures=(0.0,),
+                max_new_tokens=max_new_tokens,
+                compression_ratio_threshold=1e9, logprob_threshold=-1e9,
+                no_speech_threshold=2.0)
         return transcribe_longform(
-            params["whisper"], mcfg.whisper, audio, tok,
+            params["whisper"], mcfg.whisper, audios[0], tok,
             beam_size=beam_size, temperatures=(0.0,),
             max_new_tokens=max_new_tokens,
             compression_ratio_threshold=1e9, logprob_threshold=-1e9,
@@ -265,7 +285,7 @@ def bench_longform(model_name, seconds, iters, beam_size=5,
     for _ in range(n):
         run()
     elapsed = time.perf_counter() - t0
-    return n * seconds / elapsed / jax.device_count()
+    return n * len(audios) * seconds / elapsed / jax.device_count()
 
 
 def _emit(metric, value, sub=None):

@@ -133,25 +133,11 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
     # routed to the sequential long-form decoder unless --fast-windows
     work = []
     longform_texts: dict = {}
+    longform_items: list = []  # (record_idx, audio) for the batched seek loop
     for ri, r in enumerate(records):
         a = load_audio_file(r.audio_path, args.is_mixture)["speech"]
         if len(a) > N_SAMPLES and not args.fast_windows:
-            from lyricalignment_tpu.decode.longform import transcribe_longform
-
-            out = transcribe_longform(
-                params, wcfg, a, whisper_tok,
-                max_new_tokens=args.max_new_tokens,  # clamped to the ctx cap
-                beam_size=args.beam_size,
-                temperatures=((0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
-                              if args.temperature_fallback else (0.0,)),
-                condition_on_previous_text=not args.no_condition_on_previous_text,
-                suppress_ids=suppress_ids,
-                begin_suppress_ids=begin_suppress_ids,
-                length_penalty=args.length_penalty,
-                patience=getattr(args, "patience", None),
-                seed=args.seed,
-            )
-            longform_texts[ri] = out["text"]
+            longform_items.append((ri, a))
             continue
         n_windows = max(1, -(-len(a) // N_SAMPLES))
         for w in range(n_windows):
@@ -159,6 +145,41 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
             win = np.zeros((N_SAMPLES,), np.float32)
             win[: len(seg)] = seg
             work.append((ri, w, win))
+
+    if longform_items:
+        longform_kw = dict(
+            max_new_tokens=args.max_new_tokens,  # clamped to the ctx cap
+            beam_size=args.beam_size,
+            temperatures=((0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+                          if args.temperature_fallback else (0.0,)),
+            condition_on_previous_text=not args.no_condition_on_previous_text,
+            suppress_ids=suppress_ids,
+            begin_suppress_ids=begin_suppress_ids,
+            length_penalty=args.length_penalty,
+            patience=getattr(args, "patience", None),
+            seed=args.seed,
+        )
+        if len(longform_items) > 1:
+            # many long songs: advance their seek loops in lockstep so every
+            # window round is ONE batched decode (continuous batching over
+            # the song queue) instead of len(items) batch-1 decodes
+            from lyricalignment_tpu.decode.longform import (
+                transcribe_longform_batched,
+            )
+
+            outs = transcribe_longform_batched(
+                params, wcfg, [a for _, a in longform_items], whisper_tok,
+                batch_size=min(args.batch_size, len(longform_items)),
+                **longform_kw)
+            for (ri, _), out in zip(longform_items, outs):
+                longform_texts[ri] = out["text"]
+        else:
+            from lyricalignment_tpu.decode.longform import transcribe_longform
+
+            ri, a = longform_items[0]
+            out = transcribe_longform(params, wcfg, a, whisper_tok,
+                                      **longform_kw)
+            longform_texts[ri] = out["text"]
 
     texts: dict = {}
     bs = args.batch_size

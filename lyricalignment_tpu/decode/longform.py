@@ -77,14 +77,19 @@ def _beam_window(params, cfg, xa, prompt, length, sot_index,
                  length_penalty=None, patience=None):
     """One window: prime conditioned prompt + beam search w/ timestamp rules.
 
-    Returns (tokens [1, max_new], score [1], no_speech_prob [1])."""
+    ``prompt`` is [B, P]; ``length``/``sot_index`` are scalars (all rows
+    share one prompt) or i32[B] vectors (per-row conditioned prompts —
+    the lockstep batched long-form path). Returns
+    (tokens [B, max_new], score [B], no_speech_prob [B])."""
     k = beam_size
     prompt_k = jnp.repeat(prompt, k, axis=0)
+    length_k = jnp.repeat(length, k) if jnp.ndim(length) == 1 else length
+    sot_k = jnp.repeat(sot_index, k) if jnp.ndim(sot_index) == 1 else sot_index
     cache = init_decode_cache(params, cfg, xa, prompt.shape[1] + max_new_tokens,
                               beam_size=k)
     logits, aux, cache = prime_decode_cache(
-        params, cfg, prompt_k, cache, length, aux_index=sot_index)
-    ns_prob = jax.nn.softmax(aux[:1], axis=-1)[:, no_speech]
+        params, cfg, prompt_k, cache, length_k, aux_index=sot_k)
+    ns_prob = jax.nn.softmax(aux[::k], axis=-1)[:, no_speech]
     process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids,
                              timestamp_rules=True, ts_begin=ts_begin)
     tokens, score = beam_loop(params, cfg, logits, cache, process, k,
@@ -285,3 +290,205 @@ def transcribe_longform(
         "segments": segments,
         "language": tokenizer.language,
     }
+
+
+def _prep_mel(audio: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Whole-window-bucketed log-mel for one song: (mel [80, T'], frames)."""
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    content_frames = len(audio) // HOP_LENGTH
+    padded_len = ((len(audio) + N_SAMPLES) + N_SAMPLES - 1) // N_SAMPLES * N_SAMPLES
+    padded = np.zeros((padded_len,), np.float32)
+    padded[: len(audio)] = audio
+    return np.asarray(log_mel_spectrogram(jnp.asarray(padded))), content_frames
+
+
+def transcribe_longform_batched(
+    params: Dict,
+    cfg: WhisperConfig,
+    audios: Sequence[np.ndarray],
+    tokenizer,
+    *,
+    batch_size: Optional[int] = None,
+    beam_size: int = 5,
+    temperatures: Tuple[float, ...] = TEMPERATURES,
+    condition_on_previous_text: bool = True,
+    suppress_ids: tuple = (),
+    begin_suppress_ids: tuple = (),
+    length_penalty: Optional[float] = None,
+    patience: Optional[float] = None,
+    max_new_tokens: Optional[int] = None,
+    compression_ratio_threshold: float = COMPRESSION_RATIO_THRESHOLD,
+    logprob_threshold: float = LOGPROB_THRESHOLD,
+    no_speech_threshold: float = NO_SPEECH_THRESHOLD,
+    seed: int = 0,
+    verbose: bool = False,
+) -> List[Dict]:
+    """Transcribe MANY long songs in lockstep: one batched decode per round.
+
+    The reference (and ``transcribe_longform``) walks each song's seek loop
+    alone, so every 30 s window pays a full batch-1 beam decode — the chip
+    runs at 1/B of its batched-decode throughput. Here B independent songs
+    advance their seek loops together: each round gathers one 30 s window
+    per active song (each at its OWN seek offset, with its OWN
+    conditioned-prompt length — per-row ``pos`` in the KV cache), encodes
+    and decodes them as a single batch, then applies whisper's seek/
+    timestamp/quality-gate bookkeeping per row on host. Songs that finish
+    hand their batch slot to the next queued song (continuous batching), so
+    the device batch stays full until the work queue drains.
+
+    Per-row semantics (prompts, timestamp rules, temperature fallback,
+    no-speech gate, seek arithmetic) are token-for-token those of
+    ``transcribe_longform`` for the deterministic temperatures; sampled
+    fallback retries (temperature > 0) draw from a batch-shared RNG stream
+    keyed on (seed, temperature, round) instead of the single-song
+    (seed, temperature, seek) stream, so individual sampled retries may
+    differ — both are valid whisper behavior.
+
+    Returns one result dict per input song, in input order.
+    """
+    eot = tokenizer.eot
+    ts_begin = tokenizer.timestamp_begin
+    no_speech = tokenizer.no_speech
+    sot_seq = list(tokenizer.sot_sequence)
+
+    max_prev = max(cfg.n_text_ctx // 2 - 1, 0)
+    p_max = 1 + max_prev + len(sot_seq) if condition_on_previous_text else len(sot_seq)
+    ctx_cap = min(cfg.n_text_ctx // 2, cfg.n_text_ctx - p_max)
+    max_new_tokens = ctx_cap if max_new_tokens is None else min(max_new_tokens, ctx_cap)
+    if max_new_tokens < 1:
+        raise ValueError(
+            f"decoder context {cfg.n_text_ctx} too small for conditioned "
+            f"prompts ({p_max} slots)")
+
+    n_songs = len(audios)
+    bsz = batch_size if batch_size is not None else min(8, max(n_songs, 1))
+    results: List[Optional[Dict]] = [None] * n_songs
+    queue = list(range(n_songs))
+
+    def _load(idx: int) -> Dict:
+        mel, frames = _prep_mel(audios[idx])
+        return {"ri": idx, "mel": mel, "frames": frames, "seek": 0,
+                "tokens": [], "reset_since": 0, "segments": []}
+
+    slots: List[Optional[Dict]] = [
+        _load(queue.pop(0)) if queue else None for _ in range(bsz)]
+    round_idx = 0
+
+    while any(s is not None for s in slots):
+        win = np.zeros((bsz, 80, N_FRAMES), np.float32)
+        seg_sizes = [0] * bsz
+        buf = np.full((bsz, p_max), eot, np.int32)
+        lengths = np.full((bsz,), len(sot_seq), np.int32)
+        sots = np.zeros((bsz,), np.int32)
+        for i, st in enumerate(slots):
+            if st is None:
+                buf[i, : len(sot_seq)] = sot_seq
+                continue
+            seg_sizes[i] = min(N_FRAMES, st["frames"] - st["seek"])
+            w = st["mel"][:, st["seek"]: st["seek"] + N_FRAMES]
+            win[i, :, : w.shape[1]] = w
+            prev = st["tokens"][st["reset_since"]:]
+            if condition_on_previous_text and prev:
+                ptoks = [tokenizer.sot_prev] + prev[-max_prev:] + sot_seq
+            else:
+                ptoks = list(sot_seq)
+            buf[i, : len(ptoks)] = ptoks
+            lengths[i] = len(ptoks)
+            sots[i] = len(ptoks) - len(sot_seq)
+        xa = _encode(params, cfg, jnp.asarray(win))
+        prompt = jnp.asarray(buf)
+        length = jnp.asarray(lengths)
+        sot_index = jnp.asarray(sots)
+
+        row_result: List[Optional[Dict]] = [None] * bsz
+        row_ns: List[Optional[float]] = [None] * bsz
+        settled = [st is None for st in slots]
+        for temperature in temperatures:
+            if all(settled):
+                break
+            if temperature == 0.0 and beam_size > 1:
+                tokens, score, ns = _beam_window(
+                    params, cfg, xa, prompt, length, sot_index,
+                    beam_size, max_new_tokens, eot, no_speech,
+                    suppress_ids, begin_suppress_ids, ts_begin,
+                    length_penalty, patience)
+                scores = np.asarray(score, np.float64)
+            else:
+                if temperature == 0.0:
+                    tokens, sum_lp, ns = _greedy_window(
+                        params, cfg, xa, prompt, length, sot_index,
+                        max_new_tokens, eot, no_speech,
+                        suppress_ids, begin_suppress_ids, ts_begin)
+                else:
+                    rng = jax.random.PRNGKey(
+                        seed + int(temperature * 10) + round_idx)
+                    tokens, sum_lp, ns = _sample_window(
+                        params, cfg, xa, prompt, length, sot_index, rng,
+                        temperature, max_new_tokens, eot, no_speech,
+                        suppress_ids, begin_suppress_ids, ts_begin)
+                tok_np = np.asarray(tokens)
+                n_gen = np.maximum((tok_np != eot).sum(axis=1) + 1, 1)
+                scores = np.asarray(sum_lp, np.float64) / n_gen
+            tok_np = np.asarray(tokens)
+            ns_np = np.asarray(ns)
+            for i, st in enumerate(slots):
+                if st is None or settled[i]:
+                    continue
+                if row_ns[i] is None:
+                    row_ns[i] = float(ns_np[i])
+                toks = [int(t) for t in tok_np[i] if int(t) != eot]
+                text = _render(tokenizer, toks)
+                cr = compression_ratio(text)
+                row_result[i] = {
+                    "tokens": toks, "avg_logprob": float(scores[i]),
+                    "compression_ratio": cr, "temperature": temperature,
+                }
+                if (cr <= compression_ratio_threshold
+                        and float(scores[i]) >= logprob_threshold):
+                    settled[i] = True
+                elif row_ns[i] is not None and row_ns[i] > no_speech_threshold:
+                    settled[i] = True  # confidently silent: no retry
+
+        for i, st in enumerate(slots):
+            if st is None:
+                continue
+            result = row_result[i]
+            ns_prob = row_ns[i]
+            segment_size = seg_sizes[i]
+            should_skip = ns_prob is not None and ns_prob > no_speech_threshold
+            if result["avg_logprob"] > logprob_threshold:
+                should_skip = False
+            if should_skip:
+                st["seek"] += segment_size
+            else:
+                segs, advance = parse_segments(
+                    result["tokens"], st["seek"], segment_size,
+                    ts_begin=ts_begin)
+                if advance <= 0:
+                    advance = segment_size
+                for s in segs:
+                    s["text"] = _render(tokenizer, s["tokens"])
+                    s["temperature"] = result["temperature"]
+                    s["avg_logprob"] = result["avg_logprob"]
+                    s["no_speech_prob"] = ns_prob
+                    s["compression_ratio"] = result["compression_ratio"]
+                st["segments"].extend(segs)
+                st["tokens"].extend(
+                    t for s in segs for t in s["tokens"] if t < eot)
+                if not condition_on_previous_text or result["temperature"] > 0.5:
+                    st["reset_since"] = len(st["tokens"])
+                if verbose:
+                    for s in segs:
+                        print(f"[song {st['ri']}] "
+                              f"[{s['start']:7.2f} -> {s['end']:7.2f}] {s['text']}")
+                st["seek"] += advance
+            if st["seek"] >= st["frames"]:
+                results[st["ri"]] = {
+                    "text": "".join(s["text"] for s in st["segments"]),
+                    "segments": st["segments"],
+                    "language": tokenizer.language,
+                }
+                slots[i] = _load(queue.pop(0)) if queue else None
+        round_idx += 1
+
+    return [r for r in results]

@@ -517,6 +517,12 @@ def prime_decode_cache(
     by generation (which starts at pos=length), and ``decode_step``'s
     ``slot <= pos`` mask never exposes a stale slot before it is rewritten.
 
+    ``length``/``aux_index`` may also be i32[B] vectors (one prompt length
+    per row — batched long-form decoding, where each song in a lockstep
+    window batch carries its own conditioned-prompt length). The returned
+    cache then holds a per-row ``pos`` vector, which ``decode_step``
+    honours with per-row position embeddings, slot masks and K/V scatter.
+
     Returns (logits f32[B, n_vocab] at position length-1, logits at
     ``aux_index`` (default 0 — pass the <|startoftranscript|> position to
     read whisper's no-speech probability), primed cache with pos=length).
@@ -529,10 +535,8 @@ def prime_decode_cache(
     dtype = cfg.compute_dtype
     n_head = cfg.n_text_head
     p = tokens.shape[1]
-    if length is None:
-        length = jnp.asarray(p, jnp.int32)
-    if aux_index is None:
-        aux_index = jnp.zeros((), jnp.int32)
+    length = jnp.asarray(p if length is None else length, jnp.int32)
+    aux_index = jnp.asarray(0 if aux_index is None else aux_index, jnp.int32)
 
     x = dec["token_embedding"].astype(dtype)[tokens]
     x = x + dec["positional_embedding"].astype(dtype)[None, :p]
@@ -561,8 +565,14 @@ def prime_decode_cache(
         })
 
     x = _layer_norm(dec["ln"], x)
-    last_h = jnp.take(x, jnp.clip(length - 1, 0, p - 1), axis=1)
-    aux_h = jnp.take(x, jnp.clip(aux_index, 0, p - 1), axis=1)
+    if length.ndim == 1:  # per-row prompt lengths
+        rows = jnp.arange(x.shape[0])
+        last_h = x[rows, jnp.clip(length - 1, 0, p - 1)]
+        aux_h = x[rows, jnp.clip(jnp.broadcast_to(aux_index, length.shape),
+                                 0, p - 1)]
+    else:
+        last_h = jnp.take(x, jnp.clip(length - 1, 0, p - 1), axis=1)
+        aux_h = jnp.take(x, jnp.clip(aux_index, 0, p - 1), axis=1)
     emb_t = dec["token_embedding"].T.astype(jnp.float32)
     return (
         last_h.astype(jnp.float32) @ emb_t,
@@ -578,19 +588,31 @@ def decode_step(
     cache: Params,
 ) -> Tuple[jnp.ndarray, Params]:
     """One autoregressive step: tokens i32[B, 1] -> (logits f32[B, n_vocab],
-    updated cache). Static shapes; usable inside lax.while_loop/scan."""
+    updated cache). Static shapes; usable inside lax.while_loop/scan.
+
+    ``cache["pos"]`` may be a scalar (all rows at the same position — the
+    standard batched path, compiled to dynamic-slice updates) or an i32[B]
+    vector (per-row positions — lockstep batched long-form decoding, where
+    each song's conditioned prompt has its own length; compiled to per-row
+    gathers/scatters). The branch is static at trace time."""
     dec = params["decoder"]
     dtype = cfg.compute_dtype
     n_head = cfg.n_text_head
     pos = cache["pos"]
+    per_row = pos.ndim == 1
     max_len = cache["blocks"][0]["self_k"].shape[1]
 
     x = dec["token_embedding"].astype(dtype)[tokens]
-    x = x + jax.lax.dynamic_slice_in_dim(dec["positional_embedding"].astype(dtype), pos, 1)[None]
+    pe = dec["positional_embedding"].astype(dtype)
+    if per_row:
+        x = x + jnp.take(pe, jnp.clip(pos, 0, pe.shape[0] - 1), axis=0)[:, None]
+    else:
+        x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1)[None]
 
     # mask out cache slots beyond the current position
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
-    mask = jnp.where(slot <= pos, 0.0, jnp.finfo(jnp.float32).min).astype(dtype)
+    pos_b = pos[:, None, None, None] if per_row else pos
+    mask = jnp.where(slot <= pos_b, 0.0, jnp.finfo(jnp.float32).min).astype(dtype)
 
     new_blocks = []
     for block, bc in zip(dec["blocks"], cache["blocks"]):
@@ -598,8 +620,13 @@ def decode_step(
         q = _split_heads(_linear(block["attn"]["q"], h), n_head)
         k_new = _split_heads(_linear(block["attn"]["k"], h), n_head)
         v_new = _split_heads(_linear(block["attn"]["v"], h), n_head)
-        self_k = jax.lax.dynamic_update_slice_in_dim(bc["self_k"], k_new, pos, axis=1)
-        self_v = jax.lax.dynamic_update_slice_in_dim(bc["self_v"], v_new, pos, axis=1)
+        if per_row:
+            rows = jnp.arange(k_new.shape[0])
+            self_k = bc["self_k"].at[rows, pos].set(k_new[:, 0])
+            self_v = bc["self_v"].at[rows, pos].set(v_new[:, 0])
+        else:
+            self_k = jax.lax.dynamic_update_slice_in_dim(bc["self_k"], k_new, pos, axis=1)
+            self_v = jax.lax.dynamic_update_slice_in_dim(bc["self_v"], v_new, pos, axis=1)
 
         scale = (cfg.n_text_state // n_head) ** -0.25
         logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, self_k * scale) + mask

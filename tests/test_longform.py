@@ -375,3 +375,63 @@ def test_longform_explicit_max_new_tokens_clamped(longform_model, tok):
         logprob_threshold=-1e9, no_speech_threshold=2.0,
     )
     assert out["segments"]
+
+
+# ---------------------------------------------------------------------------
+# batched lockstep long-form: token-for-token vs the single-song seek loop
+# ---------------------------------------------------------------------------
+
+def _seg_key(s):
+    return (s["start"], s["end"], tuple(s["tokens"]))
+
+
+def test_longform_batched_matches_single_beam(longform_model, tok):
+    """Two songs of different lengths advanced in lockstep (per-row prompt
+    lengths -> per-row KV-cache positions) must produce exactly the
+    segments of two independent single-song seek loops (beam search is
+    deterministic)."""
+    from lyricalignment_tpu.decode.longform import transcribe_longform_batched
+
+    cfg, params = longform_model
+    rng = np.random.default_rng(77)
+    audios = [
+        (rng.standard_normal(int(1.6 * N_SAMPLES)) * 0.1).astype(np.float32),
+        (rng.standard_normal(int(2.3 * N_SAMPLES)) * 0.1).astype(np.float32),
+    ]
+    kw = dict(beam_size=3, temperatures=(0.0,),
+              logprob_threshold=-1e9, no_speech_threshold=2.0)
+
+    batched = transcribe_longform_batched(
+        params, cfg, audios, tok, batch_size=2, **kw)
+    singles = [transcribe_longform(params, cfg, a, tok, **kw) for a in audios]
+
+    for got, want in zip(batched, singles):
+        assert got["text"] == want["text"]
+        assert [_seg_key(s) for s in got["segments"]] == \
+               [_seg_key(s) for s in want["segments"]]
+
+
+def test_longform_batched_queue_refill_greedy(longform_model, tok):
+    """Three songs over a 2-slot batch: a finished song's slot is refilled
+    from the queue (continuous batching) and every result still matches its
+    single-song run, in input order."""
+    from lyricalignment_tpu.decode.longform import transcribe_longform_batched
+
+    cfg, params = longform_model
+    rng = np.random.default_rng(78)
+    audios = [
+        (rng.standard_normal(int(1.2 * N_SAMPLES)) * 0.1).astype(np.float32),
+        (rng.standard_normal(int(2.1 * N_SAMPLES)) * 0.1).astype(np.float32),
+        (rng.standard_normal(int(1.4 * N_SAMPLES)) * 0.1).astype(np.float32),
+    ]
+    kw = dict(beam_size=1, temperatures=(0.0,),
+              logprob_threshold=-1e9, no_speech_threshold=2.0)
+
+    batched = transcribe_longform_batched(
+        params, cfg, audios, tok, batch_size=2, **kw)
+    singles = [transcribe_longform(params, cfg, a, tok, **kw) for a in audios]
+
+    for got, want in zip(batched, singles):
+        assert got["text"] == want["text"]
+        assert [_seg_key(s) for s in got["segments"]] == \
+               [_seg_key(s) for s in want["segments"]]

@@ -215,3 +215,43 @@ def test_int8_encoder_close_to_f32(tiny_cfg, params, rng):
     flag = np.asarray(decoder_logits(
         params, dataclasses.replace(tiny_cfg, int8_encoder=True), tokens, xa))
     np.testing.assert_array_equal(base, flag)
+
+
+def test_vector_pos_cache_matches_per_row_scalar(tiny_cfg, params, rng):
+    """Per-row cache positions (i32[B] ``pos`` — batched long-form decoding,
+    where each lockstep row carries its own conditioned-prompt length) must
+    reproduce the scalar-pos path row for row, through prime + 4 steps."""
+    from lyricalignment_tpu.models.whisper import prime_decode_cache
+
+    mel = rng.standard_normal((2, 80, 100)).astype(np.float32)
+    xa = encode_audio(params, tiny_cfg, jnp.asarray(mel))
+    P, lens, auxs = 8, (3, 6), (1, 2)
+    prompts = rng.integers(0, 128, size=(2, P)).astype(np.int32)
+    steps = rng.integers(0, 128, size=(4, 2, 1)).astype(np.int32)
+
+    cache = init_decode_cache(params, tiny_cfg, xa, max_len=P + 6)
+    logits, aux, cache = prime_decode_cache(
+        params, tiny_cfg, jnp.asarray(prompts), cache,
+        length=jnp.asarray(lens, jnp.int32),
+        aux_index=jnp.asarray(auxs, jnp.int32))
+    assert cache["pos"].shape == (2,)
+    step_logits = []
+    for t in steps:
+        l, cache = decode_step(params, tiny_cfg, jnp.asarray(t), cache)
+        step_logits.append(np.asarray(l))
+    assert np.array_equal(np.asarray(cache["pos"]),
+                          np.asarray(lens) + len(steps))
+
+    for r, (L, A) in enumerate(zip(lens, auxs)):
+        cr = init_decode_cache(params, tiny_cfg, xa[r: r + 1], max_len=P + 6)
+        lr, ar, cr = prime_decode_cache(
+            params, tiny_cfg, jnp.asarray(prompts[r: r + 1]), cr,
+            length=jnp.asarray(L, jnp.int32), aux_index=jnp.asarray(A, jnp.int32))
+        np.testing.assert_allclose(np.asarray(logits)[r], np.asarray(lr)[0],
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(aux)[r], np.asarray(ar)[0],
+                                   atol=1e-4, rtol=1e-4)
+        for t, batched_l in zip(steps, step_logits):
+            lstep, cr = decode_step(params, tiny_cfg, jnp.asarray(t[r: r + 1]), cr)
+            np.testing.assert_allclose(batched_l[r], np.asarray(lstep)[0],
+                                       atol=1e-4, rtol=1e-4)
