@@ -180,14 +180,9 @@ def transcribe_longform(
             f"decoder context {cfg.n_text_ctx} too small for conditioned "
             f"prompts ({p_max} slots)")
 
-    audio = np.asarray(audio, np.float32).reshape(-1)
-    content_frames = len(audio) // HOP_LENGTH
     # bucket the padded audio to whole 30 s windows: one mel compile shape
-    # per bucket instead of per audio length
-    padded_len = ((len(audio) + N_SAMPLES) + N_SAMPLES - 1) // N_SAMPLES * N_SAMPLES
-    padded = np.zeros((padded_len,), np.float32)
-    padded[: len(audio)] = audio
-    mel = np.asarray(log_mel_spectrogram(jnp.asarray(padded)))  # [80, T']
+    # per bucket instead of per audio length; mel stays on device
+    mel, content_frames = _prep_mel(audio)  # device f32[80, T']
 
     seek = 0
     all_tokens: List[int] = []
@@ -196,10 +191,9 @@ def transcribe_longform(
 
     while seek < content_frames:
         segment_size = min(N_FRAMES, content_frames - seek)
-        window = mel[:, seek: seek + N_FRAMES]
-        if window.shape[1] < N_FRAMES:
-            window = np.pad(window, ((0, 0), (0, N_FRAMES - window.shape[1])))
-        xa = _encode(params, cfg, jnp.asarray(window[None]))
+        # whole-window padding guarantees the slice never runs short
+        window = _gather_window(mel, jnp.asarray(seek, jnp.int32))
+        xa = _encode(params, cfg, window[None])
 
         prev = all_tokens[prompt_reset_since:]
         if condition_on_previous_text and prev:
@@ -216,31 +210,36 @@ def transcribe_longform(
         result = None
         for temperature in temperatures:
             if temperature == 0.0 and beam_size > 1:
-                tokens, score, ns = _beam_window(
+                tokens, score_d, ns = _beam_window(
                     params, cfg, xa, prompt, length, sot_index,
                     beam_size, max_new_tokens, eot, no_speech,
                     suppress_ids, begin_suppress_ids, ts_begin,
                     length_penalty, patience)
-                score = float(score[0])
+                # one host sync for all outputs (each fetch is a full round
+                # trip over the remote-TPU tunnel)
+                tok_np, score_np, ns_np = jax.device_get((tokens, score_d, ns))
+                score = float(score_np[0])
             elif temperature == 0.0:
                 tokens, sum_lp, ns = _greedy_window(
                     params, cfg, xa, prompt, length, sot_index,
                     max_new_tokens, eot, no_speech,
                     suppress_ids, begin_suppress_ids, ts_begin)
-                n_gen = max(int((np.asarray(tokens)[0] != eot).sum()) + 1, 1)
-                score = float(sum_lp[0]) / n_gen
+                tok_np, sum_lp_np, ns_np = jax.device_get((tokens, sum_lp, ns))
+                n_gen = max(int((tok_np[0] != eot).sum()) + 1, 1)
+                score = float(sum_lp_np[0]) / n_gen
             else:
                 rng = jax.random.PRNGKey(seed + int(temperature * 10) + seek)
                 tokens, sum_lp, ns = _sample_window(
                     params, cfg, xa, prompt, length, sot_index, rng,
                     temperature, max_new_tokens, eot, no_speech,
                     suppress_ids, begin_suppress_ids, ts_begin)
-                n_gen = max(int((np.asarray(tokens)[0] != eot).sum()) + 1, 1)
-                score = float(sum_lp[0]) / n_gen
+                tok_np, sum_lp_np, ns_np = jax.device_get((tokens, sum_lp, ns))
+                n_gen = max(int((tok_np[0] != eot).sum()) + 1, 1)
+                score = float(sum_lp_np[0]) / n_gen
             if ns_prob is None:
-                ns_prob = float(np.asarray(ns)[0])
+                ns_prob = float(ns_np[0])
 
-            toks = [int(t) for t in np.asarray(tokens)[0] if int(t) != eot]
+            toks = [int(t) for t in tok_np[0] if int(t) != eot]
             text = _render(tokenizer, toks)
             cr = compression_ratio(text)
             result = {
@@ -292,14 +291,51 @@ def transcribe_longform(
     }
 
 
-def _prep_mel(audio: np.ndarray) -> Tuple[np.ndarray, int]:
-    """Whole-window-bucketed log-mel for one song: (mel [80, T'], frames)."""
+@jax.jit
+def _mel_device(padded_audio: jnp.ndarray) -> jnp.ndarray:
+    return log_mel_spectrogram(padded_audio)
+
+
+@jax.jit
+def _gather_window(mel: jnp.ndarray, seek: jnp.ndarray) -> jnp.ndarray:
+    """Device-side 30 s window slice: mel f32[80, T'] -> f32[80, N_FRAMES].
+
+    Stays on device: over the remote-TPU tunnel, fetching a song's full mel
+    to host and re-uploading one window per seek round costs more than the
+    decode itself (measured ~230 ms down + ~450 ms up per 90 s song at the
+    tunnel's ~17 MB/s, vs ~8 ms of on-device mel compute)."""
+    return jax.lax.dynamic_slice(mel, (jnp.int32(0), seek), (80, N_FRAMES))
+
+
+def _prep_mel(audio) -> Tuple[jnp.ndarray, int]:
+    """Whole-window-bucketed log-mel for one song: (device mel [80, T'],
+    content frames). The mel is computed and kept ON DEVICE (dispatch is
+    async — on a directly attached host the upload DMAs overlap the current
+    rounds' decode; the remote tunnel serializes transfers with compute,
+    see PARITY.md); windows are sliced out on device with
+    ``_gather_window``. The whole-window padding guarantees
+    T' >= content_frames + N_FRAMES, so a window slice never runs short.
+
+    ``audio`` may already be a prepared ``(mel, content_frames)`` pair from
+    ``prepare_longform_audio`` — returned as-is, so callers (serving, the
+    bench) can stage uploads off the hot path."""
+    if isinstance(audio, tuple):
+        return audio
     audio = np.asarray(audio, np.float32).reshape(-1)
     content_frames = len(audio) // HOP_LENGTH
     padded_len = ((len(audio) + N_SAMPLES) + N_SAMPLES - 1) // N_SAMPLES * N_SAMPLES
     padded = np.zeros((padded_len,), np.float32)
     padded[: len(audio)] = audio
-    return np.asarray(log_mel_spectrogram(jnp.asarray(padded))), content_frames
+    return _mel_device(jnp.asarray(padded)), content_frames
+
+
+def prepare_longform_audio(audio: np.ndarray) -> Tuple[jnp.ndarray, int]:
+    """Stage one song for ``transcribe_longform_batched``: upload + compute
+    its log-mel on device, returning an opaque ``(mel, content_frames)``
+    pair accepted anywhere an audio array is. Staging off the hot path lets
+    a serving loop (or benchmark) pay host->device ingest once per song,
+    decoupled from the lockstep decode rounds."""
+    return _prep_mel(audio)
 
 
 def transcribe_longform_batched(
@@ -370,12 +406,27 @@ def transcribe_longform_batched(
         return {"ri": idx, "mel": mel, "frames": frames, "seek": 0,
                 "tokens": [], "reset_since": 0, "segments": []}
 
+    # prefetch pool: _prep_mel only DISPATCHES the audio upload + on-device
+    # mel (async), so loading the next queued songs a few rounds early
+    # overlaps their host->device transfer with the current rounds' decode
+    # — at steady state the link and the chip run concurrently
+    prefetched: Dict[int, Dict] = {}
+    n_prefetch = 2
+
+    def _take_next() -> Dict:
+        idx = queue.pop(0)
+        return prefetched.pop(idx, None) or _load(idx)
+
     slots: List[Optional[Dict]] = [
-        _load(queue.pop(0)) if queue else None for _ in range(bsz)]
+        _take_next() if queue else None for _ in range(bsz)]
     round_idx = 0
 
+    zero_win = jnp.zeros((80, N_FRAMES), jnp.float32)  # idle batch slots
     while any(s is not None for s in slots):
-        win = np.zeros((bsz, 80, N_FRAMES), np.float32)
+        for idx in queue[:n_prefetch]:
+            if idx not in prefetched:
+                prefetched[idx] = _load(idx)
+        wins: List[jnp.ndarray] = [zero_win] * bsz
         seg_sizes = [0] * bsz
         buf = np.full((bsz, p_max), eot, np.int32)
         lengths = np.full((bsz,), len(sot_seq), np.int32)
@@ -385,8 +436,9 @@ def transcribe_longform_batched(
                 buf[i, : len(sot_seq)] = sot_seq
                 continue
             seg_sizes[i] = min(N_FRAMES, st["frames"] - st["seek"])
-            w = st["mel"][:, st["seek"]: st["seek"] + N_FRAMES]
-            win[i, :, : w.shape[1]] = w
+            # device-side slice of the device-resident mel: no mel download,
+            # no per-round window re-upload over the tunnel
+            wins[i] = _gather_window(st["mel"], jnp.asarray(st["seek"], jnp.int32))
             prev = st["tokens"][st["reset_since"]:]
             if condition_on_previous_text and prev:
                 ptoks = [tokenizer.sot_prev] + prev[-max_prev:] + sot_seq
@@ -395,7 +447,7 @@ def transcribe_longform_batched(
             buf[i, : len(ptoks)] = ptoks
             lengths[i] = len(ptoks)
             sots[i] = len(ptoks) - len(sot_seq)
-        xa = _encode(params, cfg, jnp.asarray(win))
+        xa = _encode(params, cfg, jnp.stack(wins))
         prompt = jnp.asarray(buf)
         length = jnp.asarray(lengths)
         sot_index = jnp.asarray(sots)
@@ -412,7 +464,10 @@ def transcribe_longform_batched(
                     beam_size, max_new_tokens, eot, no_speech,
                     suppress_ids, begin_suppress_ids, ts_begin,
                     length_penalty, patience)
-                scores = np.asarray(score, np.float64)
+                # one host sync for all three outputs (each np.asarray is a
+                # full round trip over the remote-TPU tunnel)
+                tok_np, score_np, ns_np = jax.device_get((tokens, score, ns))
+                scores = np.asarray(score_np, np.float64)
             else:
                 if temperature == 0.0:
                     tokens, sum_lp, ns = _greedy_window(
@@ -426,11 +481,9 @@ def transcribe_longform_batched(
                         params, cfg, xa, prompt, length, sot_index, rng,
                         temperature, max_new_tokens, eot, no_speech,
                         suppress_ids, begin_suppress_ids, ts_begin)
-                tok_np = np.asarray(tokens)
+                tok_np, sum_lp_np, ns_np = jax.device_get((tokens, sum_lp, ns))
                 n_gen = np.maximum((tok_np != eot).sum(axis=1) + 1, 1)
-                scores = np.asarray(sum_lp, np.float64) / n_gen
-            tok_np = np.asarray(tokens)
-            ns_np = np.asarray(ns)
+                scores = np.asarray(sum_lp_np, np.float64) / n_gen
             for i, st in enumerate(slots):
                 if st is None or settled[i]:
                     continue
@@ -488,7 +541,7 @@ def transcribe_longform_batched(
                     "segments": st["segments"],
                     "language": tokenizer.language,
                 }
-                slots[i] = _load(queue.pop(0)) if queue else None
+                slots[i] = _take_next() if queue else None
         round_idx += 1
 
     return [r for r in results]

@@ -435,3 +435,60 @@ def test_longform_batched_queue_refill_greedy(longform_model, tok):
         assert got["text"] == want["text"]
         assert [_seg_key(s) for s in got["segments"]] == \
                [_seg_key(s) for s in want["segments"]]
+
+
+def test_longform_batched_no_speech_skip(longform_model, tok):
+    """The batched no-speech gate: with a threshold every window trips and a
+    logprob gate no decode clears, each song's seek loop must skip forward
+    window by window and terminate with zero segments — exactly as the
+    single-song loop does (whisper's silent-window skip,
+    reference model.transcribe semantics)."""
+    from lyricalignment_tpu.decode.longform import transcribe_longform_batched
+
+    cfg, params = longform_model
+    rng = np.random.default_rng(80)
+    audios = [
+        (rng.standard_normal(int(1.3 * N_SAMPLES)) * 0.1).astype(np.float32),
+        (rng.standard_normal(int(2.2 * N_SAMPLES)) * 0.1).astype(np.float32),
+    ]
+    kw = dict(beam_size=1, temperatures=(0.0,),
+              logprob_threshold=1e9,    # no decode is ever "confident"
+              no_speech_threshold=0.0)  # every window reads as silent
+
+    batched = transcribe_longform_batched(
+        params, cfg, audios, tok, batch_size=2, **kw)
+    singles = [transcribe_longform(params, cfg, a, tok, **kw) for a in audios]
+
+    for got, want in zip(batched, singles):
+        assert got["segments"] == [] == want["segments"]
+        assert got["text"] == "" == want["text"]
+
+
+def test_longform_batched_fallback_ladder(longform_model, tok):
+    """Per-row temperature fallback in the batched loop: gates that never
+    pass must walk every row through the whole temperature ladder and keep
+    the final (highest-temperature) attempt — per-row ``settled``
+    bookkeeping, the batched analogue of whisper's retry cascade. Sampled
+    retries draw from a batch-shared RNG stream (documented deviation), so
+    this checks the machinery, not token equality."""
+    from lyricalignment_tpu.decode.longform import transcribe_longform_batched
+
+    cfg, params = longform_model
+    rng = np.random.default_rng(81)
+    audios = [
+        (rng.standard_normal(int(1.2 * N_SAMPLES)) * 0.1).astype(np.float32),
+        (rng.standard_normal(int(1.7 * N_SAMPLES)) * 0.1).astype(np.float32),
+    ]
+
+    outs = transcribe_longform_batched(
+        params, cfg, audios, tok, batch_size=2,
+        beam_size=2, temperatures=(0.0, 0.4, 0.8),
+        compression_ratio_threshold=-1.0,  # never passes: always retry
+        logprob_threshold=1e9,
+        no_speech_threshold=2.0)           # never silent: never skip
+
+    for out in outs:
+        assert out["segments"], "fallback ladder must still emit segments"
+        for s in out["segments"]:
+            assert s["temperature"] == 0.8  # final rung kept
+            assert s["end"] >= s["start"] >= 0.0
