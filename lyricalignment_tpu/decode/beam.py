@@ -40,6 +40,7 @@ from lyricalignment_tpu.models.whisper import (
     WhisperConfig,
     decode_step,
     init_decode_cache,
+    prime_decode_cache,
 )
 
 NEG_INF = -1.0e30
@@ -154,16 +155,20 @@ def greedy_loop(
 
 
 def _gather_cache(cache: Dict, idx: jnp.ndarray) -> Dict:
-    """Re-select beam rows of the self-attention KV cache (idx i32[B*beam]).
+    """Re-select beam rows of the per-row cache sections (idx i32[B*beam]).
 
-    Cross-attention K/V are deliberately NOT gathered: beam selection only
+    Per-SAMPLE sections are deliberately NOT gathered: beam selection only
     permutes rows within a sample, and every beam of a sample shares the
-    same audio features — gathering them would move ~GBs of invariant data
-    per step at whisper-medium."""
+    same audio features (``cross_*``) and the same conditioned prompt
+    (``prompt_*``) — gathering either would move ~GBs of invariant data
+    per step at whisper-medium. Only the generated-token K/V (and any
+    other per-row entries) are reordered; non-block state (step, length)
+    is per-sample or scalar and passes through."""
     return {
-        "pos": cache["pos"],
+        **{k: v for k, v in cache.items() if k != "blocks"},
         "blocks": [
-            {k: (v if k.startswith("cross_") else v[idx]) for k, v in blk.items()}
+            {k: (v if k.startswith(("cross_", "prompt_")) else v[idx])
+             for k, v in blk.items()}
             for blk in cache["blocks"]
         ],
     }
@@ -404,8 +409,12 @@ def sample_loop(
 # ---------------------------------------------------------------------------
 
 def _prime_cache(params, cfg, prompt, cache):
-    """Feed the prompt tokens one-by-one (static unroll over the prompt,
-    which is a handful of special tokens)."""
+    """Feed the prompt tokens one-by-one through ``decode_step`` (static
+    unroll). Requires a cache built with ``prompt_len=0`` (every token
+    lands in the gen section) and a gen section sized for prompt +
+    generation. Production paths prime with the single-pass
+    ``models.whisper.prime_decode_cache`` instead; this unroll survives as
+    the independent cross-check the prime tests compare against."""
     logits = None
     for i in range(prompt.shape[1]):
         logits, cache = decode_step(params, cfg, prompt[:, i: i + 1], cache)
@@ -435,8 +444,8 @@ def greedy_decode(
     """Returns i32[B, max_new_tokens], eot-padded after completion."""
     _check_context(cfg, prompt.shape[1], max_new_tokens)
     cache = init_decode_cache(params, cfg, audio_features,
-                              prompt.shape[1] + max_new_tokens)
-    logits, cache = _prime_cache(params, cfg, prompt, cache)
+                              prompt.shape[1], max_new_tokens)
+    logits, _, cache = prime_decode_cache(params, cfg, prompt, cache)
     process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids)
     out, _ = greedy_loop(params, cfg, logits, cache, process, max_new_tokens, eot)
     return out
@@ -466,11 +475,12 @@ def beam_search(
     """
     k = beam_size
     _check_context(cfg, prompt.shape[1], max_new_tokens)
-    # cross K/V computed + streamed once per sample; self cache per beam row
-    prompt_k = jnp.repeat(prompt, k, axis=0)
+    # cross K/V and prompt K/V computed + streamed once per sample (the
+    # split cache); only generated K/V live per beam row
     cache = init_decode_cache(params, cfg, audio_features,
-                              prompt.shape[1] + max_new_tokens, beam_size=k)
-    logits, cache = _prime_cache(params, cfg, prompt_k, cache)
+                              prompt.shape[1], max_new_tokens, beam_size=k)
+    logits, _, cache = prime_decode_cache(params, cfg, prompt, cache)
+    logits = jnp.repeat(logits, k, axis=0)
     process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids)
     return beam_loop(params, cfg, logits, cache, process, k, max_new_tokens,
                      eot, length_penalty, patience)

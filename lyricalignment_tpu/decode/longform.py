@@ -77,22 +77,21 @@ def _beam_window(params, cfg, xa, prompt, length, sot_index,
                  length_penalty=None, patience=None):
     """One window: prime conditioned prompt + beam search w/ timestamp rules.
 
-    ``prompt`` is [B, P]; ``length``/``sot_index`` are scalars (all rows
-    share one prompt) or i32[B] vectors (per-row conditioned prompts —
-    the lockstep batched long-form path). Returns
+    ``prompt`` is [B, P] (one row per sample — the split cache stores each
+    sample's prompt once, shared by its beams); ``length``/``sot_index``
+    are scalars or i32[B] vectors (per-row conditioned prompts — the
+    lockstep batched long-form path). Returns
     (tokens [B, max_new], score [B], no_speech_prob [B])."""
     k = beam_size
-    prompt_k = jnp.repeat(prompt, k, axis=0)
-    length_k = jnp.repeat(length, k) if jnp.ndim(length) == 1 else length
-    sot_k = jnp.repeat(sot_index, k) if jnp.ndim(sot_index) == 1 else sot_index
-    cache = init_decode_cache(params, cfg, xa, prompt.shape[1] + max_new_tokens,
-                              beam_size=k)
+    cache = init_decode_cache(params, cfg, xa, prompt.shape[1],
+                              max_new_tokens, beam_size=k)
     logits, aux, cache = prime_decode_cache(
-        params, cfg, prompt_k, cache, length_k, aux_index=sot_k)
-    ns_prob = jax.nn.softmax(aux[::k], axis=-1)[:, no_speech]
+        params, cfg, prompt, cache, length, aux_index=sot_index)
+    ns_prob = jax.nn.softmax(aux, axis=-1)[:, no_speech]
     process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids,
                              timestamp_rules=True, ts_begin=ts_begin)
-    tokens, score = beam_loop(params, cfg, logits, cache, process, k,
+    tokens, score = beam_loop(params, cfg, jnp.repeat(logits, k, axis=0),
+                              cache, process, k,
                               max_new_tokens, eot, length_penalty, patience)
     return tokens, score, ns_prob
 
@@ -103,7 +102,7 @@ def _beam_window(params, cfg, xa, prompt, length, sot_index,
 def _greedy_window(params, cfg, xa, prompt, length, sot_index,
                    max_new_tokens, eot, no_speech,
                    suppress_ids, begin_suppress_ids, ts_begin):
-    cache = init_decode_cache(params, cfg, xa, prompt.shape[1] + max_new_tokens)
+    cache = init_decode_cache(params, cfg, xa, prompt.shape[1], max_new_tokens)
     logits, aux, cache = prime_decode_cache(
         params, cfg, prompt, cache, length, aux_index=sot_index)
     ns_prob = jax.nn.softmax(aux, axis=-1)[:, no_speech]
@@ -120,7 +119,7 @@ def _greedy_window(params, cfg, xa, prompt, length, sot_index,
 def _sample_window(params, cfg, xa, prompt, length, sot_index, rng,
                    temperature, max_new_tokens, eot, no_speech,
                    suppress_ids, begin_suppress_ids, ts_begin):
-    cache = init_decode_cache(params, cfg, xa, prompt.shape[1] + max_new_tokens)
+    cache = init_decode_cache(params, cfg, xa, prompt.shape[1], max_new_tokens)
     logits, aux, cache = prime_decode_cache(
         params, cfg, prompt, cache, length, aux_index=sot_index)
     ns_prob = jax.nn.softmax(aux, axis=-1)[:, no_speech]

@@ -22,12 +22,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from lyricalignment_tpu.decode.beam import (
-    _prime_cache,
     beam_search,
     make_processor,
     sample_loop,
 )
-from lyricalignment_tpu.models.whisper import WhisperConfig, decode_step, init_decode_cache
+from lyricalignment_tpu.models.whisper import (
+    WhisperConfig,
+    decode_step,
+    init_decode_cache,
+    prime_decode_cache,
+)
 
 COMPRESSION_RATIO_THRESHOLD = 2.4
 LOGPROB_THRESHOLD = -1.0
@@ -59,9 +63,9 @@ def sample_decode(
     begin_suppress_ids: tuple = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Temperature sampling; returns (tokens [B, max_new], sum_logprob [B])."""
-    max_len = prompt.shape[1] + max_new_tokens
-    cache = init_decode_cache(params, cfg, audio_features, max_len)
-    logits, cache = _prime_cache(params, cfg, prompt, cache)
+    cache = init_decode_cache(params, cfg, audio_features,
+                              prompt.shape[1], max_new_tokens)
+    logits, _, cache = prime_decode_cache(params, cfg, prompt, cache)
     process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids)
     return sample_loop(params, cfg, logits, cache, process, rng, temperature,
                        max_new_tokens, eot)
@@ -76,7 +80,7 @@ def no_speech_probs(
     no_speech: int,
 ) -> jnp.ndarray:
     """P(<|nospeech|>) at the sot position (whisper's no-speech detector)."""
-    cache = init_decode_cache(params, cfg, audio_features, 2)
+    cache = init_decode_cache(params, cfg, audio_features, 0, 1)
     sot_tok = jnp.full((audio_features.shape[0], 1), sot, jnp.int32)
     logits, _ = decode_step(params, cfg, sot_tok, cache)
     probs = jax.nn.softmax(logits, axis=-1)

@@ -453,30 +453,54 @@ def decoder_logits(
 
 def init_decode_cache(
     params: Params, cfg: WhisperConfig, audio_features: jnp.ndarray,
-    max_len: int, beam_size: int = 1,
+    prompt_len: int, max_new_tokens: int, beam_size: int = 1,
 ) -> Params:
-    """Precompute cross-attention K/V and allocate static self-attn cache.
+    """Precompute cross-attention K/V and allocate the split self-attn cache.
 
-    With ``beam_size > 1`` the self-attention cache rows are allocated for
-    ``B * beam_size`` token streams while cross K/V stay at ``B`` rows —
-    every beam of a sample attends the same audio, so storing (and, far
-    more importantly, streaming from HBM every decode step) one copy per
-    beam would multiply the dominant memory traffic of autoregressive
-    decoding by the beam width for nothing.
+    The self-attention cache is SPLIT by provenance, mirroring how each
+    section is written and reordered:
+
+    - ``prompt_k/v`` f32[B, prompt_len, H, Dh] — written ONCE by
+      ``prime_decode_cache`` and per-SAMPLE: every beam of a sample shares
+      the same (possibly long, <|startofprev|>-conditioned) prompt, so
+      storing it per beam row would multiply both the per-step HBM read
+      stream and the per-step beam-reorder gather by the beam width. At
+      whisper-medium with a full 227-token conditioned prompt and beam 5,
+      the unified per-row layout streams ~1.1 GB/step of prompt K/V and
+      gathers it again on every beam reorder — the split removes both.
+    - ``gen_k/v`` [B*beam, max_new_tokens, H, Dh] — appended per decode
+      step at the shared ``step`` index (all rows generate in lockstep;
+      per-row prompt LENGTHS are carried in ``length`` and only shift the
+      position embedding and validity mask, never the storage slot).
+
+    Cross K/V stay at ``B`` rows for the same reason (see
+    ``_grouped_cross_attention``).
+
+    ``length`` (i32[B], per-sample valid prompt length) is zero until
+    ``prime_decode_cache`` sets it; a prompt_len=0 cache decodes directly
+    (everything lands in the gen section).
     """
     dtype = cfg.compute_dtype
     b = audio_features.shape[0]
     xa = audio_features.astype(dtype)
     d_h = cfg.n_text_state // cfg.n_text_head
-    cache = {"blocks": [], "pos": jnp.zeros((), jnp.int32)}
+    cache = {
+        "blocks": [],
+        "step": jnp.zeros((), jnp.int32),
+        "length": jnp.zeros((b,), jnp.int32),
+    }
     for block in params["decoder"]["blocks"]:
         ck = _split_heads(_linear(block["cross_attn"]["k"], xa), cfg.n_text_head)
         cv = _split_heads(_linear(block["cross_attn"]["v"], xa), cfg.n_text_head)
         cache["blocks"].append({
             "cross_k": ck,
             "cross_v": cv,
-            "self_k": jnp.zeros((b * beam_size, max_len, cfg.n_text_head, d_h), dtype),
-            "self_v": jnp.zeros((b * beam_size, max_len, cfg.n_text_head, d_h), dtype),
+            "prompt_k": jnp.zeros((b, prompt_len, cfg.n_text_head, d_h), dtype),
+            "prompt_v": jnp.zeros((b, prompt_len, cfg.n_text_head, d_h), dtype),
+            "gen_k": jnp.zeros(
+                (b * beam_size, max_new_tokens, cfg.n_text_head, d_h), dtype),
+            "gen_v": jnp.zeros(
+                (b * beam_size, max_new_tokens, cfg.n_text_head, d_h), dtype),
         })
     return cache
 
@@ -511,21 +535,17 @@ def prime_decode_cache(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Params]:
     """Prime the decode cache with a whole prompt in ONE forward pass.
 
-    ``tokens`` i32[B, P] left-aligned; ``length`` (i32 scalar, default P) is
-    the number of valid prompt tokens. Positions length..P-1 may hold
-    padding: their K/V land in the cache but are progressively overwritten
-    by generation (which starts at pos=length), and ``decode_step``'s
-    ``slot <= pos`` mask never exposes a stale slot before it is rewritten.
-
-    ``length``/``aux_index`` may also be i32[B] vectors (one prompt length
-    per row — batched long-form decoding, where each song in a lockstep
-    window batch carries its own conditioned-prompt length). The returned
-    cache then holds a per-row ``pos`` vector, which ``decode_step``
-    honours with per-row position embeddings, slot masks and K/V scatter.
+    ``tokens`` i32[B, P] left-aligned, ONE row per sample (beam rows share
+    their sample's prompt — the split cache stores it once). ``length``
+    (i32 scalar or i32[B], default P) is the number of valid prompt tokens
+    per sample; positions length..P-1 may hold padding, whose K/V land in
+    the per-sample prompt section but stay masked out forever
+    (``decode_step``'s ``slot < length`` prompt mask).
 
     Returns (logits f32[B, n_vocab] at position length-1, logits at
     ``aux_index`` (default 0 — pass the <|startoftranscript|> position to
-    read whisper's no-speech probability), primed cache with pos=length).
+    read whisper's no-speech probability; scalar or i32[B]), primed cache
+    with step=0 and per-sample ``length``).
 
     Replaces a per-token unroll for long conditioned prompts (whisper's
     <|startofprev|> context, up to n_text_ctx//2 tokens), which the
@@ -534,9 +554,11 @@ def prime_decode_cache(
     dec = params["decoder"]
     dtype = cfg.compute_dtype
     n_head = cfg.n_text_head
-    p = tokens.shape[1]
-    length = jnp.asarray(p if length is None else length, jnp.int32)
-    aux_index = jnp.asarray(0 if aux_index is None else aux_index, jnp.int32)
+    b, p = tokens.shape
+    length = jnp.broadcast_to(
+        jnp.asarray(p if length is None else length, jnp.int32), (b,))
+    aux_index = jnp.broadcast_to(
+        jnp.asarray(0 if aux_index is None else aux_index, jnp.int32), (b,))
 
     x = dec["token_embedding"].astype(dtype)[tokens]
     x = x + dec["positional_embedding"].astype(dtype)[None, :p]
@@ -558,26 +580,18 @@ def prime_decode_cache(
         x = x + _grouped_cross_attention(
             block["cross_attn"], h, bc["cross_k"], bc["cross_v"], n_head)
         x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
-        new_blocks.append({
-            **bc,
-            "self_k": jax.lax.dynamic_update_slice_in_dim(bc["self_k"], k, 0, axis=1),
-            "self_v": jax.lax.dynamic_update_slice_in_dim(bc["self_v"], v, 0, axis=1),
-        })
+        new_blocks.append({**bc, "prompt_k": k, "prompt_v": v})
 
     x = _layer_norm(dec["ln"], x)
-    if length.ndim == 1:  # per-row prompt lengths
-        rows = jnp.arange(x.shape[0])
-        last_h = x[rows, jnp.clip(length - 1, 0, p - 1)]
-        aux_h = x[rows, jnp.clip(jnp.broadcast_to(aux_index, length.shape),
-                                 0, p - 1)]
-    else:
-        last_h = jnp.take(x, jnp.clip(length - 1, 0, p - 1), axis=1)
-        aux_h = jnp.take(x, jnp.clip(aux_index, 0, p - 1), axis=1)
+    rows = jnp.arange(b)
+    last_h = x[rows, jnp.clip(length - 1, 0, p - 1)]
+    aux_h = x[rows, jnp.clip(aux_index, 0, p - 1)]
     emb_t = dec["token_embedding"].T.astype(jnp.float32)
     return (
         last_h.astype(jnp.float32) @ emb_t,
         aux_h.astype(jnp.float32) @ emb_t,
-        {"blocks": new_blocks, "pos": length.astype(jnp.int32)},
+        {"blocks": new_blocks, "step": jnp.zeros((), jnp.int32),
+         "length": length},
     )
 
 
@@ -587,59 +601,72 @@ def decode_step(
     tokens: jnp.ndarray,
     cache: Params,
 ) -> Tuple[jnp.ndarray, Params]:
-    """One autoregressive step: tokens i32[B, 1] -> (logits f32[B, n_vocab],
+    """One autoregressive step: tokens i32[R, 1] -> (logits f32[R, n_vocab],
     updated cache). Static shapes; usable inside lax.while_loop/scan.
 
-    ``cache["pos"]`` may be a scalar (all rows at the same position — the
-    standard batched path, compiled to dynamic-slice updates) or an i32[B]
-    vector (per-row positions — lockstep batched long-form decoding, where
-    each song's conditioned prompt has its own length; compiled to per-row
-    gathers/scatters). The branch is static at trace time."""
+    ``R = B * g`` rows share ``B`` samples' prompt/cross sections (``g``
+    beams per sample; g=1 for greedy/sampling). Self-attention runs over
+    the SPLIT cache: the per-sample prompt section (read once per sample
+    per step, never reordered) and the per-row generated section (appended
+    at the shared ``step`` slot, the only part a beam reorder must
+    gather). Each row's true position is ``length[sample] + step`` — rows
+    with different conditioned-prompt lengths (lockstep batched long-form
+    decoding) differ only in position embedding and prompt-validity mask,
+    not in storage layout."""
     dec = params["decoder"]
     dtype = cfg.compute_dtype
     n_head = cfg.n_text_head
-    pos = cache["pos"]
-    per_row = pos.ndim == 1
-    max_len = cache["blocks"][0]["self_k"].shape[1]
+    step = cache["step"]                  # i32 scalar: tokens generated so far
+    length = cache["length"]              # i32[B]: per-sample prompt length
+    r = tokens.shape[0]
+    b = length.shape[0]
+    g = r // b
+    p = cache["blocks"][0]["prompt_k"].shape[1]
+    g_max = cache["blocks"][0]["gen_k"].shape[1]
+    neg = jnp.finfo(jnp.float32).min
 
-    x = dec["token_embedding"].astype(dtype)[tokens]
     pe = dec["positional_embedding"].astype(dtype)
-    if per_row:
-        x = x + jnp.take(pe, jnp.clip(pos, 0, pe.shape[0] - 1), axis=0)[:, None]
-    else:
-        x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1)[None]
+    pos = jnp.repeat(length, g) + step    # [R] true positions
+    x = dec["token_embedding"].astype(dtype)[tokens]
+    x = x + jnp.take(pe, jnp.clip(pos, 0, pe.shape[0] - 1), axis=0)[:, None]
 
-    # mask out cache slots beyond the current position
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
-    pos_b = pos[:, None, None, None] if per_row else pos
-    mask = jnp.where(slot <= pos_b, 0.0, jnp.finfo(jnp.float32).min).astype(dtype)
+    # validity masks: prompt slots < length (per sample), gen slots <= step
+    slot_p = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
+    mask_p = jnp.where(slot_p < length[:, None], 0.0, neg).astype(dtype)
+    slot_g = jax.lax.broadcasted_iota(jnp.int32, (g_max,), 0)
+    mask_g = jnp.where(slot_g <= step, 0.0, neg).astype(dtype)
 
+    scale = (cfg.n_text_state // n_head) ** -0.25
     new_blocks = []
     for block, bc in zip(dec["blocks"], cache["blocks"]):
         h = _layer_norm(block["attn_ln"], x)
         q = _split_heads(_linear(block["attn"]["q"], h), n_head)
         k_new = _split_heads(_linear(block["attn"]["k"], h), n_head)
         v_new = _split_heads(_linear(block["attn"]["v"], h), n_head)
-        if per_row:
-            rows = jnp.arange(k_new.shape[0])
-            self_k = bc["self_k"].at[rows, pos].set(k_new[:, 0])
-            self_v = bc["self_v"].at[rows, pos].set(v_new[:, 0])
-        else:
-            self_k = jax.lax.dynamic_update_slice_in_dim(bc["self_k"], k_new, pos, axis=1)
-            self_v = jax.lax.dynamic_update_slice_in_dim(bc["self_v"], v_new, pos, axis=1)
+        gen_k = jax.lax.dynamic_update_slice_in_dim(bc["gen_k"], k_new, step, axis=1)
+        gen_v = jax.lax.dynamic_update_slice_in_dim(bc["gen_v"], v_new, step, axis=1)
 
-        scale = (cfg.n_text_state // n_head) ** -0.25
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, self_k * scale) + mask
-        w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(dtype)
-        attn_out = jnp.einsum("bhqk,bkhd->bqhd", w, self_v)
-        x = x + _linear(block["attn"]["out"], attn_out.reshape(x.shape))
+        qs = (q * scale)[:, 0]                                   # [R, H, Dh]
+        att_p = jnp.einsum("bghd,bphd->bghp", qs.reshape(b, g, n_head, -1),
+                           bc["prompt_k"] * scale)
+        att_p = att_p + mask_p[:, None, None, :]
+        att_g = jnp.einsum("rhd,rkhd->rhk", qs, gen_k * scale)
+        att_g = att_g + mask_g[None, None, :]
+        att = jnp.concatenate([att_p.reshape(r, n_head, p), att_g], axis=-1)
+        w = jax.nn.softmax(att.astype(jnp.float32), -1).astype(dtype)
+        out_p = jnp.einsum("bghp,bphd->bghd",
+                           w[..., :p].reshape(b, g, n_head, p), bc["prompt_v"])
+        out_g = jnp.einsum("rhk,rkhd->rhd", w[..., p:], gen_v)
+        attn_out = out_p.reshape(r, n_head, -1) + out_g          # [R, H, Dh]
+        x = x + _linear(block["attn"]["out"], attn_out.reshape(r, 1, -1))
 
         h = _layer_norm(block["cross_attn_ln"], x)
         x = x + _grouped_cross_attention(
             block["cross_attn"], h, bc["cross_k"], bc["cross_v"], n_head)
         x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
-        new_blocks.append({**bc, "self_k": self_k, "self_v": self_v})
+        new_blocks.append({**bc, "gen_k": gen_k, "gen_v": gen_v})
 
     x = _layer_norm(dec["ln"], x)
     logits = x.astype(jnp.float32) @ dec["token_embedding"].T.astype(jnp.float32)
-    return logits[:, 0], {"blocks": new_blocks, "pos": pos + 1}
+    return logits[:, 0], {"blocks": new_blocks, "step": step + 1,
+                          "length": length}

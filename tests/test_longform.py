@@ -80,13 +80,14 @@ def test_prime_cache_matches_stepwise(tiny):
     buf = np.full((1, P), 13, np.int32)
     buf[:, :L] = ptoks
 
-    max_len = P + 6
-    cache_a = init_decode_cache(params, cfg, xa, max_len)
+    # split cache (prompt section + gen section) vs the all-gen stepwise
+    # unroll (prompt_len=0): independent layouts, same math
+    cache_a = init_decode_cache(params, cfg, xa, P, 6)
     logits_a, aux_a, cache_a = prime_decode_cache(
         params, cfg, jnp.asarray(buf), cache_a,
         length=jnp.asarray(L, jnp.int32), aux_index=jnp.asarray(2, jnp.int32))
 
-    cache_b = init_decode_cache(params, cfg, xa, max_len)
+    cache_b = init_decode_cache(params, cfg, xa, 0, P + 6)
     logits_b, cache_b = _prime_cache(params, cfg, jnp.asarray(ptoks), cache_b)
 
     np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),

@@ -75,7 +75,8 @@ def test_kv_cached_decode_matches_teacher_forced(tiny_cfg, params, rng):
 
     full = np.asarray(decoder_logits(params, tiny_cfg, jnp.asarray(tokens), xa))
 
-    cache = init_decode_cache(params, tiny_cfg, xa, max_len=8)
+    # prompt_len=0: every token lands in the gen section of the split cache
+    cache = init_decode_cache(params, tiny_cfg, xa, 0, 8)
     step_logits = []
     for i in range(tokens.shape[1]):
         logit, cache = decode_step(params, tiny_cfg, jnp.asarray(tokens[:, i: i + 1]), cache)
@@ -217,10 +218,11 @@ def test_int8_encoder_close_to_f32(tiny_cfg, params, rng):
     np.testing.assert_array_equal(base, flag)
 
 
-def test_vector_pos_cache_matches_per_row_scalar(tiny_cfg, params, rng):
-    """Per-row cache positions (i32[B] ``pos`` — batched long-form decoding,
-    where each lockstep row carries its own conditioned-prompt length) must
-    reproduce the scalar-pos path row for row, through prime + 4 steps."""
+def test_per_sample_lengths_match_single_runs(tiny_cfg, params, rng):
+    """Per-sample prompt lengths (i32[B] ``length`` in the split cache —
+    batched long-form decoding, where each lockstep row carries its own
+    conditioned-prompt length) must reproduce each sample's standalone
+    prime + 4 decode steps row for row."""
     from lyricalignment_tpu.models.whisper import prime_decode_cache
 
     mel = rng.standard_normal((2, 80, 100)).astype(np.float32)
@@ -229,21 +231,21 @@ def test_vector_pos_cache_matches_per_row_scalar(tiny_cfg, params, rng):
     prompts = rng.integers(0, 128, size=(2, P)).astype(np.int32)
     steps = rng.integers(0, 128, size=(4, 2, 1)).astype(np.int32)
 
-    cache = init_decode_cache(params, tiny_cfg, xa, max_len=P + 6)
+    cache = init_decode_cache(params, tiny_cfg, xa, P, 6)
     logits, aux, cache = prime_decode_cache(
         params, tiny_cfg, jnp.asarray(prompts), cache,
         length=jnp.asarray(lens, jnp.int32),
         aux_index=jnp.asarray(auxs, jnp.int32))
-    assert cache["pos"].shape == (2,)
+    assert cache["length"].shape == (2,)
     step_logits = []
     for t in steps:
         l, cache = decode_step(params, tiny_cfg, jnp.asarray(t), cache)
         step_logits.append(np.asarray(l))
-    assert np.array_equal(np.asarray(cache["pos"]),
-                          np.asarray(lens) + len(steps))
+    assert int(cache["step"]) == len(steps)
+    assert np.array_equal(np.asarray(cache["length"]), np.asarray(lens))
 
     for r, (L, A) in enumerate(zip(lens, auxs)):
-        cr = init_decode_cache(params, tiny_cfg, xa[r: r + 1], max_len=P + 6)
+        cr = init_decode_cache(params, tiny_cfg, xa[r: r + 1], P, 6)
         lr, ar, cr = prime_decode_cache(
             params, tiny_cfg, jnp.asarray(prompts[r: r + 1]), cr,
             length=jnp.asarray(L, jnp.int32), aux_index=jnp.asarray(A, jnp.int32))
