@@ -80,6 +80,7 @@ def build_model_config(
     fast_gelu: bool = False,
     int8_encoder: bool = False,
     onepass_encoder: bool = False,
+    int8_cross_kv: bool = False,
 ) -> AlignModelConfig:
     import jax.numpy as jnp
 
@@ -92,6 +93,8 @@ def build_model_config(
         wcfg = dataclasses.replace(wcfg, int8_encoder=True)
     if onepass_encoder:
         wcfg = dataclasses.replace(wcfg, onepass_encoder=True)
+    if int8_cross_kv:
+        wcfg = dataclasses.replace(wcfg, int8_cross_kv=True)
     return AlignModelConfig(
         whisper=wcfg,
         hidden_dim=384,
@@ -123,7 +126,7 @@ def init_params(args, mcfg: AlignModelConfig, seed: int):
 def load_model_dir(
     model_dir: str, model_name: str = "best", use_bf16: bool = False,
     fast_gelu: bool = False, int8_encoder: bool = False,
-    onepass_encoder: bool = True,
+    onepass_encoder: bool = True, int8_cross_kv: bool = False,
 ) -> Tuple[AlignModelConfig, Any, Dict]:
     """Load a trained model dir (args.json + model_args.json + checkpoints).
 
@@ -148,6 +151,7 @@ def load_model_dir(
         fast_gelu=fast_gelu,
         int8_encoder=int8_encoder,
         onepass_encoder=onepass_encoder,
+        int8_cross_kv=int8_cross_kv,
         freeze_encoder=model_args.get("freeze_encoder", False),
         train_alignment=model_args.get("train_alignment", True),
         train_transcript=model_args.get("train_transcript", False),

@@ -67,6 +67,11 @@ def parse_args():
                         "previous window's text")
     p.add_argument("--language", type=str, default="zh")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--int8-cross-kv", action="store_true",
+                   help="int8-quantize the decode cache's cross-attention "
+                        "K/V (halves the dominant per-step HBM stream; "
+                        "~1%% attention-output quantization error — "
+                        "measure per deployment, PARITY.md)")
     p.add_argument("--fast-gelu", action="store_true",
                    help="tanh-approximate encoder GELU (error below "
                         "bf16 rounding); ~15%% faster encoder on TPU")
@@ -261,17 +266,21 @@ def main():
     )
 
     if os.path.exists(args.model_dir) and not args.use_pretrained:
-        mcfg, align_params, _ = load_model_dir(args.model_dir, "best", use_bf16=args.bf16, fast_gelu=args.fast_gelu)
+        mcfg, align_params, _ = load_model_dir(
+            args.model_dir, "best", use_bf16=args.bf16,
+            fast_gelu=args.fast_gelu, int8_cross_kv=args.int8_cross_kv)
         wcfg, params = mcfg.whisper, align_params["whisper"]
     elif args.whisper_checkpoint:
         from lyricalignment_tpu.models.convert import load_openai_checkpoint
 
         print("Use pretrained model")
         wcfg, params = load_openai_checkpoint(args.whisper_checkpoint)
-        if args.bf16:
-            import dataclasses
+        import dataclasses
 
+        if args.bf16:
             wcfg = dataclasses.replace(wcfg, compute_dtype=jnp.bfloat16)
+        if args.int8_cross_kv:
+            wcfg = dataclasses.replace(wcfg, int8_cross_kv=True)
     else:
         raise SystemExit("--model-dir not found; pass --whisper-checkpoint for "
                          "a pretrained run (no network downloads available)")

@@ -78,6 +78,16 @@ class WhisperConfig:
     # ignored under `sequence_sharding` (the kernel needs the full T on
     # one device).
     onepass_encoder: bool = False
+    # int8-quantized cross-attention K/V in the DECODE cache: K per-key
+    # (absmax over Dh), V per-channel (absmax over T), with the matching
+    # query/attention-weight side dynamically quantized so both decode-loop
+    # cross contractions run int8xint8->int32. Cross K/V are the dominant
+    # per-step HBM stream of autoregressive decoding (~147 MB/sample/step at
+    # medium in bf16 — PARITY.md decode decomposition); int8 halves it.
+    # INFERENCE ONLY and opt-in: ~0.5-1% relative attention-output error
+    # (above bf16 rounding), and on a per-op-overhead-bound loop (small B)
+    # it buys nothing — measure per deployment (PARITY.md).
+    int8_cross_kv: bool = False
 
     @property
     def is_multilingual(self) -> bool:
@@ -492,7 +502,17 @@ def init_decode_cache(
     for block in params["decoder"]["blocks"]:
         ck = _split_heads(_linear(block["cross_attn"]["k"], xa), cfg.n_text_head)
         cv = _split_heads(_linear(block["cross_attn"]["v"], xa), cfg.n_text_head)
+        if cfg.int8_cross_kv:
+            # K per key vector (over Dh): its scale multiplies the whole
+            # QK^T logit column; V per (head, channel) over T: its scale
+            # factors out of the weights@V contraction entirely.
+            ck, ck_s = _quantize_int8(ck, axis=-1)       # s: [B, T, H, 1]
+            cv, cv_s = _quantize_int8(cv, axis=1)        # s: [B, 1, H, Dh]
+            extra = {"cross_k_s": ck_s, "cross_v_s": cv_s}
+        else:
+            extra = {}
         cache["blocks"].append({
+            **extra,
             "cross_k": ck,
             "cross_v": cv,
             "prompt_k": jnp.zeros((b, prompt_len, cfg.n_text_head, d_h), dtype),
@@ -508,20 +528,42 @@ def init_decode_cache(
 def _grouped_cross_attention(
     p: Params,
     x: jnp.ndarray,          # [B*g, S, D] decoder hidden (post-LN)
-    ck: jnp.ndarray,         # [B, T, H, Dh] precomputed cross K
+    ck: jnp.ndarray,         # [B, T, H, Dh] precomputed cross K (f/bf16 or int8)
     cv: jnp.ndarray,         # [B, T, H, Dh]
     n_head: int,
+    ck_s: Optional[jnp.ndarray] = None,   # int8 path: f32[B, T, H, 1]
+    cv_s: Optional[jnp.ndarray] = None,   # int8 path: f32[B, 1, H, Dh]
 ) -> jnp.ndarray:
-    """Cross-attention where g query rows share each audio row (beams)."""
+    """Cross-attention where g query rows share each audio row (beams).
+
+    With ``ck_s``/``cv_s`` set (``WhisperConfig.int8_cross_kv``), K/V arrive
+    int8-quantized and both contractions run int8xint8->int32 on the MXU:
+    the query is dynamically quantized per query vector (scales multiply the
+    logits outside the contraction, alongside K's per-key scales), and the
+    f32 softmax weights per (query, head) row (V's per-channel scales factor
+    out of the weights@V sum). Halves the dominant decode-loop HBM stream."""
     bg, s, d = x.shape
     b = ck.shape[0]
     g = bg // b
     scale = (d // n_head) ** -0.25
-    q = _split_heads(_linear(p["q"], x), n_head) * scale       # [B*g, S, H, Dh]
+    q = _split_heads(_linear(p["q"], x), n_head)               # [B*g, S, H, Dh]
     q = q.reshape(b, g, s, n_head, d // n_head)
-    logits = jnp.einsum("bgshd,bthd->bgsht", q, ck * scale)
-    w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
-    out = jnp.einsum("bgsht,bthd->bgshd", w, cv)
+    if ck_s is not None:
+        qq, qs = _quantize_int8(q, axis=-1)                    # qs [b,g,s,h,1]
+        logits = jnp.einsum("bgshd,bthd->bgsht", qq, ck,
+                            preferred_element_type=jnp.int32)
+        ks = jnp.transpose(ck_s[..., 0], (0, 2, 1))            # [b, h, t]
+        logits = (logits.astype(jnp.float32) * qs
+                  * ks[:, None, None] * (scale * scale))
+        w = jax.nn.softmax(logits, -1)
+        wq, ws = _quantize_int8(w, axis=-1)                    # ws [b,g,s,h,1]
+        out = jnp.einsum("bgsht,bthd->bgshd", wq, cv,
+                         preferred_element_type=jnp.int32)
+        out = (out.astype(jnp.float32) * ws * cv_s[:, None]).astype(x.dtype)
+    else:
+        logits = jnp.einsum("bgshd,bthd->bgsht", q * scale, ck * scale)
+        w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+        out = jnp.einsum("bgsht,bthd->bgshd", w, cv)
     return _linear(p["out"], out.reshape(bg, s, d))
 
 
@@ -578,7 +620,8 @@ def prime_decode_cache(
 
         h = _layer_norm(block["cross_attn_ln"], x)
         x = x + _grouped_cross_attention(
-            block["cross_attn"], h, bc["cross_k"], bc["cross_v"], n_head)
+            block["cross_attn"], h, bc["cross_k"], bc["cross_v"], n_head,
+            ck_s=bc.get("cross_k_s"), cv_s=bc.get("cross_v_s"))
         x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
         new_blocks.append({**bc, "prompt_k": k, "prompt_v": v})
 
@@ -662,7 +705,8 @@ def decode_step(
 
         h = _layer_norm(block["cross_attn_ln"], x)
         x = x + _grouped_cross_attention(
-            block["cross_attn"], h, bc["cross_k"], bc["cross_v"], n_head)
+            block["cross_attn"], h, bc["cross_k"], bc["cross_v"], n_head,
+            ck_s=bc.get("cross_k_s"), cv_s=bc.get("cross_v_s"))
         x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
         new_blocks.append({**bc, "gen_k": gen_k, "gen_v": gen_v})
 

@@ -257,3 +257,37 @@ def test_per_sample_lengths_match_single_runs(tiny_cfg, params, rng):
             lstep, cr = decode_step(params, tiny_cfg, jnp.asarray(t[r: r + 1]), cr)
             np.testing.assert_allclose(batched_l[r], np.asarray(lstep)[0],
                                        atol=1e-4, rtol=1e-4)
+
+
+def test_int8_cross_kv_close_to_f32(tiny_cfg, params, rng):
+    """int8-quantized cross-attention K/V in the decode cache (per-key K
+    scales over Dh, per-channel V scales over T, dynamically quantized
+    query/attention-weight sides) stays within ~2% relative error of the
+    f32 decode path through prime + beam-grouped steps — above bf16
+    rounding, hence opt-in; see WhisperConfig.int8_cross_kv."""
+    import dataclasses
+
+    from lyricalignment_tpu.models.whisper import prime_decode_cache
+
+    mel = jnp.asarray(rng.standard_normal((2, 80, 100)).astype(np.float32))
+    xa = encode_audio(params, tiny_cfg, mel)
+    P, g = 5, 3
+    prompts = jnp.asarray(rng.integers(0, 128, size=(2, P)).astype(np.int32))
+    steps = rng.integers(0, 128, size=(4, 2 * g, 1)).astype(np.int32)
+
+    cfg_q = dataclasses.replace(tiny_cfg, int8_cross_kv=True)
+    outs = {}
+    for name, cfg in (("f32", tiny_cfg), ("int8", cfg_q)):
+        cache = init_decode_cache(params, cfg, xa, P, 6, beam_size=g)
+        logits, _, cache = prime_decode_cache(params, cfg, prompts, cache)
+        seq = [np.asarray(logits, dtype=np.float64)]
+        for t in steps:
+            l, cache = decode_step(params, cfg, jnp.asarray(t), cache)
+            seq.append(np.asarray(l, dtype=np.float64))
+        outs[name] = seq
+    assert outs["int8"][0].shape == outs["f32"][0].shape
+    for a, b in zip(outs["int8"], outs["f32"]):
+        rel_l2 = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel_l2 < 0.02, rel_l2
+        # rank structure survives quantization: same top-1 token per row
+        np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
