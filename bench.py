@@ -329,8 +329,39 @@ def _guarded(fn, *args, **kw):
         return None
 
 
+def _wait_for_backend(attempts=3, probe_timeout=150, sleeps=(60, 120)):
+    """Gate on TPU backend availability before any in-process device use.
+
+    The axon tunnel intermittently refuses/hangs backend setup
+    (UNAVAILABLE); jax caches a failed init for the process lifetime, so
+    the probe runs in a SUBPROCESS (serially — never two live TPU
+    processes, CLAUDE.md) and the main process only touches the device
+    once a probe has succeeded. If every probe fails the bench proceeds
+    anyway and fails loudly with the real error."""
+    import subprocess
+    import sys
+
+    probe = ("import jax, numpy as np, jax.numpy as jnp;"
+             "x = jnp.ones((8, 8));"
+             "print(np.asarray(x @ x)[0, 0])")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if i < attempts - 1:
+            wait = sleeps[min(i, len(sleeps) - 1)]
+            print(f"# backend probe {i + 1}/{attempts} failed; "
+                  f"retrying in {wait}s", file=sys.stderr, flush=True)
+            time.sleep(wait)
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "full")
+    _wait_for_backend()
     model_name = os.environ.get("BENCH_MODEL", "medium")
     # batch 16 is the measured throughput knee for medium alignment on one
     # v5e chip (same-run sweep: 1497 -> 2035 audio-s/s going 8 -> 16, flat
