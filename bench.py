@@ -15,11 +15,13 @@ Sub-benchmarks are individually guarded: a failure records null instead of
 killing the bench.
 
 Env knobs: BENCH_MODE (full | align | transcribe | train | longform),
-BENCH_MODEL (tiny|base|small|medium|large, default medium), BENCH_BATCH
-(default 8), BENCH_ITERS (default 8), BENCH_SECONDS (clip length, default
-30), BENCH_LONGFORM_SECONDS (default 90), BENCH_SUB=0 (skip sub metrics in
-full mode), BENCH_TRAIN_REMAT=1 (rematerialised train step for large
-configs).
+BENCH_MODEL (tiny|base|small|medium|large, default medium; in full mode it
+sets the headline + transcribe/train/longform sub models, while the
+align_large sub row stays large), BENCH_BATCH (default 16, the measured
+medium-alignment knee), BENCH_ITERS (default 8), BENCH_SECONDS (clip
+length, default 30), BENCH_LONGFORM_SECONDS (default 90), BENCH_SUB=0
+(skip sub metrics in full mode), BENCH_TRAIN_REMAT=1 (rematerialised train
+step for large configs).
 
 Measurement notes (axon TPU tunnel, see CLAUDE.md): a synchronous jit call
 round-trips in ~30-40 ms and ``block_until_ready`` returns before remote
@@ -58,14 +60,12 @@ def _mcfg(model_name, inference=True):
 
 
 def _bf16_resident(whisper_params):
-    """bf16-resident whisper weights: numerics identical to the per-op cast
-    the bf16 compute path already does, half the weight-stream bytes."""
-    import jax
-    import jax.numpy as jnp
+    """bf16-resident whisper weights — the production cast
+    (``models.whisper.bf16_resident_params``: matmul weights bf16, decoder
+    embedding table f32 for the f32 unembedding logits)."""
+    from lyricalignment_tpu.models.whisper import bf16_resident_params
 
-    return jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 and x.ndim >= 2 else x, whisper_params)
+    return bf16_resident_params(whisper_params)
 
 
 def bench_align(model_name, batch, iters, clip_seconds):
@@ -134,13 +134,10 @@ def bench_transcribe(model_name, batch, iters, clip_seconds, beam_size=5,
     # store decode weights in bf16: the token-by-token decoder is
     # weight-streaming-bound, and f32-resident params would double the
     # HBM traffic of every step regardless of compute_dtype
-    dparams = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 and x.ndim >= 2 else x,
-        params["whisper"])
+    dparams = _bf16_resident(params["whisper"])
 
     @jax.jit
-    def transcribe_batch(dparams, params, audio):
+    def transcribe_batch(dparams, audio):
         mel = pad_or_trim(log_mel(audio), N_FRAMES)
         xa = encode_audio(dparams, mcfg.whisper, mel)
         toks, _ = beam_search(dparams, mcfg.whisper, xa, prompt,
@@ -150,11 +147,11 @@ def bench_transcribe(model_name, batch, iters, clip_seconds, beam_size=5,
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((batch, n_samples)).astype(np.float32) * 0.1)
-    np.asarray(transcribe_batch(dparams, params, audio))  # compile
+    np.asarray(transcribe_batch(dparams, audio))  # compile
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
-        out = transcribe_batch(dparams, params, audio)
+        out = transcribe_batch(dparams, audio)
     _ = np.asarray(out[0, 0])
     elapsed = time.perf_counter() - t0
     return iters * batch * clip_seconds / elapsed / jax.device_count()
@@ -383,20 +380,21 @@ def main():
     elif mode == "longform":
         _emit(f"longform_throughput_{model_name}_beam5",
               bench_longform(model_name, longform_seconds, iters))
-    else:  # full: headline + sub surface
-        headline = bench_align("medium", batch, iters, clip_seconds)
+    else:  # full: headline (BENCH_MODEL, default medium) + sub surface
+        headline = bench_align(model_name, batch, iters, clip_seconds)
         gc.collect()
         sub = None
         if os.environ.get("BENCH_SUB", "1") != "0":
             sub = {
-                "transcribe_medium_beam5": _guarded(
-                    bench_transcribe, "medium", batch, iters, clip_seconds),
-                "train_medium": _guarded(bench_train, "medium", iters, clip_seconds),
+                f"transcribe_{model_name}_beam5": _guarded(
+                    bench_transcribe, model_name, batch, iters, clip_seconds),
+                f"train_{model_name}": _guarded(
+                    bench_train, model_name, iters, clip_seconds),
                 "align_large": _guarded(bench_align, "large", batch, iters, clip_seconds),
-                "longform_medium_beam5": _guarded(
-                    bench_longform, "medium", longform_seconds, iters),
+                f"longform_{model_name}_beam5": _guarded(
+                    bench_longform, model_name, longform_seconds, iters),
             }
-        _emit("alignment_throughput_medium", headline, sub)
+        _emit(f"alignment_throughput_{model_name}", headline, sub)
 
 
 if __name__ == "__main__":

@@ -31,9 +31,10 @@ class LyricAligner:
         self.use_ctc = use_ctc
         self.bucket_seconds = bucket_seconds
         self.max_label_len = max_label_len
-        # fixed device batch: requests are padded to this static shape so
-        # continuous batching compiles once per length bucket, not once per
-        # (backlog size, bucket) pair — compile costs 1-5 min on the tunnel
+        # device batch cap: requests are padded to the next power of two up
+        # to this size, so continuous batching sees a bounded compile-shape
+        # set per length bucket (compiles cost 1-5 min on the tunnel) while
+        # one-shot align() calls run B=1 instead of paying batch_size rows
         self.batch_size = max(1, batch_size)
 
     @classmethod

@@ -138,8 +138,11 @@ def load_model_dir(
     single-pass attention path is numerically equivalent to the flash path
     (same bf16-rounding error class vs f32, PARITY.md) and ~20% faster at
     medium B=16. Under ``use_bf16`` the whisper weights are also made
-    bf16-RESIDENT — numerics are identical to the per-op cast the compute
-    path already does, but each forward streams half the weight bytes.
+    bf16-RESIDENT (``models.whisper.bf16_resident_params``) — numerics are
+    identical to the per-op cast the compute path already does, because the
+    decoder embedding table, whose unembedding matmul deliberately runs in
+    f32 (avg_logprob / no-speech gates), stays f32-resident; every other
+    weight streams half the bytes.
     """
     train_args = load_json(os.path.join(model_dir, "args.json"))
     model_args = load_json(os.path.join(model_dir, "model_args.json"))
@@ -169,12 +172,8 @@ def load_model_dir(
     else:
         raise FileNotFoundError(f"No checkpoint {orbax_path}[.pt]")
     if use_bf16 and isinstance(params, dict) and "whisper" in params:
-        import jax
-        import jax.numpy as jnp
+        from lyricalignment_tpu.models.whisper import bf16_resident_params
 
         params = dict(params)
-        params["whisper"] = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if getattr(x, "dtype", None) == jnp.float32 and x.ndim >= 2 else x,
-            params["whisper"])
+        params["whisper"] = bf16_resident_params(params["whisper"])
     return mcfg, params, train_args

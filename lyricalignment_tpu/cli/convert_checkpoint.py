@@ -118,9 +118,10 @@ def main(argv=None):
     from lyricalignment_tpu.cli.common import load_model_dir
     from lyricalignment_tpu.train.checkpoints import export_reference_pt
 
-    _, params, _ = load_model_dir(args.model_dir, args.model_name)
+    mcfg, params, _ = load_model_dir(args.model_dir, args.model_name)
     os.makedirs(os.path.dirname(os.path.abspath(args.pt)), exist_ok=True)
-    export_reference_pt(params, args.pt)
+    export_reference_pt(params, args.pt,
+                        n_audio_ctx=mcfg.whisper.n_audio_ctx)
     print(f"exported {args.model_dir}/{args.model_name}_model -> {args.pt}")
     return 0
 

@@ -165,9 +165,12 @@ def align_records(records, params, mcfg, table, bert, args):
     Records are grouped by length bucket (one jit compile per bucket) and
     processed ``batch_size`` at a time within a bucket — the reference
     aligns one record per step (`inference_alignment.py:145-166`); here a
-    whole batch shares one device round-trip. Batches are always padded to
-    the static ``batch_size`` (pad rows dropped after Viterbi), bounding
-    compile shapes to one per length bucket even under continuous batching.
+    whole batch shares one device round-trip. Batches are padded to the
+    next power of two up to the static ``batch_size`` (pad rows dropped
+    after Viterbi), bounding compile shapes to a handful per length bucket
+    under continuous batching while one-shot ``align()`` calls run B=1
+    instead of paying ``batch_size`` rows. Mesh runs always pad to the full
+    ``batch_size`` so data shards stay equal-sized.
     """
     from lyricalignment_tpu.data.audio_io import audio_num_samples_16k
 
@@ -200,10 +203,17 @@ def align_records(records, params, mcfg, table, bert, args):
         idxs = buckets[padded_len]
         for start in range(0, len(idxs), batch_size):
             group = idxs[start: start + batch_size]
-            # every batch keeps the full static size (pad rows are dropped
-            # after viterbi): shards stay equal-sized under a mesh, and the
-            # jit cache sees one shape per bucket regardless of backlog
-            B = batch_size
+            # pad rows are dropped after viterbi; under a mesh the full
+            # static size keeps shards equal, otherwise the next power of
+            # two keeps the jit cache bounded ({1,2,4,...,batch_size} per
+            # bucket) without charging one-shot calls batch_size rows
+            if mesh is not None:
+                B = batch_size
+            else:
+                B = 1
+                while B < len(group):
+                    B *= 2
+                B = min(B, batch_size)
             a = np.zeros((B, padded_len), np.float32)
             labels = np.zeros((B, args.max_label_len), np.int32)
             lens = np.ones((B,), np.int32)

@@ -219,9 +219,18 @@ def beam_loop(
     k = beam_size
     b = bk // k
     t = max_new_tokens
+    # whisper's BeamSearchDecoder accepts any patience with
+    # round(beam_size * patience) > 0 — patience < 1.0 (fewer finished
+    # candidates than beams) is a valid reference configuration
     n_cand = int(round((patience if patience is not None else 1.0) * k))
-    if n_cand < k:
-        raise ValueError(f"patience {patience} gives {n_cand} < beam_size candidates")
+    if n_cand < 1:
+        raise ValueError(
+            f"Invalid beam size ({k}) or patience ({patience}): "
+            f"round(beam_size * patience) must be > 0")
+    # candidate buffer: finalize pads with unfinished beams up to k entries,
+    # so it must hold max(n_cand, k) rows even when patience < 1 caps the
+    # finished set below k
+    n_buf = max(n_cand, k)
 
     def select(i, cand_lp, cand_tok, cand_src, live_tokens,
                fin_tok, fin_score, fin_ntext, fin_cnt):
@@ -260,9 +269,9 @@ def beam_loop(
         f_src = jnp.take_along_axis(src_s, safe, axis=1)
         slot = fin_cnt[:, None] + jnp.cumsum(fin_valid.astype(jnp.int32), axis=1) - 1
         write = fin_valid & (slot < n_cand)
-        slot_c = jnp.clip(slot, 0, n_cand - 1)
+        slot_c = jnp.clip(slot, 0, n_buf - 1)
         onehot = (write[:, :, None]
-                  & (slot_c[:, :, None] == jnp.arange(n_cand)[None, None, :]))
+                  & (slot_c[:, :, None] == jnp.arange(n_buf)[None, None, :]))
         any_w = onehot.any(axis=1)                                    # [B, C]
         oh = onehot.astype(jnp.float32)
         fin_score = jnp.where(any_w, jnp.einsum("bkc,bk->bc", oh, f_lp), fin_score)
@@ -277,9 +286,9 @@ def beam_loop(
         return new_lp, new_tok, new_src, fin_tok, fin_score, fin_ntext, fin_cnt
 
     tokens0 = jnp.full((bk, t), eot, jnp.int32)
-    fin_tok = jnp.full((b, n_cand, t), eot, jnp.int32)
-    fin_score = jnp.full((b, n_cand), NEG_INF, jnp.float32)
-    fin_ntext = jnp.ones((b, n_cand), jnp.int32)    # 1 avoids 0/0 in empty slots
+    fin_tok = jnp.full((b, n_buf, t), eot, jnp.int32)
+    fin_score = jnp.full((b, n_buf), NEG_INF, jnp.float32)
+    fin_ntext = jnp.ones((b, n_buf), jnp.int32)    # 1 avoids 0/0 in empty slots
     fin_cnt = jnp.zeros((b,), jnp.int32)
 
     # first expansion: all beams of a sample are identical, so the
@@ -294,13 +303,24 @@ def beam_loop(
     tokens = tokens0.at[:, 0].set(new_tok.reshape(-1))
     sum_lp = sum_lp.reshape(-1)                                  # [B*k]
 
+    # per-sample completion step (number of generated tokens when the
+    # finished set filled): with patience < 1 the finalize pad draws LIVE
+    # beams, so a completed sample's live state must freeze at its own
+    # completion point — the reference decodes one sample per transcribe()
+    # call, and freezing keeps the batched loop batch-invariant (whisper's
+    # own n_audio>1 mode would let other samples' runtimes leak into the
+    # pad; we deliberately reproduce the per-sample semantics instead)
+    i_done = jnp.where(fin_cnt >= n_cand, 1, t)
+
     def cond(state):
         i = state[0]
-        fin_cnt = state[-1]
+        fin_cnt = state[-2]
         return (i < t) & ~jnp.all(fin_cnt >= n_cand)
 
     def body(state):
-        i, tok, cache, sum_lp, tokens, fin_tok, fin_score, fin_ntext, fin_cnt = state
+        (i, tok, cache, sum_lp, tokens,
+         fin_tok, fin_score, fin_ntext, fin_cnt, i_done) = state
+        was_done = fin_cnt >= n_cand                              # [B]
         logits, cache = decode_step(params, cfg, tok, cache)
         logp = jax.nn.log_softmax(process(logits, tokens, i), axis=-1)   # [B*k, V]
         row_lp, row_tok = jax.lax.top_k(logp, k + 1)             # [B*k, k+1]
@@ -313,16 +333,25 @@ def beam_loop(
             i, cand_lp, cand_tok, cand_src, tokens.reshape(b, k, t),
             fin_tok, fin_score, fin_ntext, fin_cnt)
 
+        # freeze completed samples (fin writes are already a no-op for them:
+        # the slot < n_cand cap): live scores/tokens/cache rows keep the
+        # state they had when the sample completed
+        new_lp = jnp.where(was_done[:, None], sum_lp.reshape(b, k), new_lp)
+        new_tok = jnp.where(was_done[:, None], eot, new_tok)
+        new_src = jnp.where(was_done[:, None], jnp.arange(k)[None, :], new_src)
+        i_done = jnp.where(~was_done & (fin_cnt >= n_cand), i + 1, i_done)
+
         src = (jnp.arange(b)[:, None] * k + new_src).reshape(-1)     # [B*k]
         cache = _gather_cache(cache, src)
         tokens = tokens[src].at[:, i].set(new_tok.reshape(-1))
         return (i + 1, new_tok.reshape(-1, 1), cache, new_lp.reshape(-1),
-                tokens, fin_tok, fin_score, fin_ntext, fin_cnt)
+                tokens, fin_tok, fin_score, fin_ntext, fin_cnt, i_done)
 
     state = (jnp.asarray(1), tokens[:, 0:1], cache, sum_lp, tokens,
-             fin_tok, fin_score, fin_ntext, fin_cnt)
-    (i_exit, _, _, sum_lp, tokens,
-     fin_tok, fin_score, fin_ntext, fin_cnt) = jax.lax.while_loop(cond, body, state)
+             fin_tok, fin_score, fin_ntext, fin_cnt, i_done)
+    (_, _, _, sum_lp, tokens,
+     fin_tok, fin_score, fin_ntext, fin_cnt, i_done) = jax.lax.while_loop(
+        cond, body, state)
 
     # finalize: if a sample has fewer than beam_size finished sequences, pad
     # with unfinished beams by descending sum-logprob (reference finalize:
@@ -334,12 +363,12 @@ def beam_loop(
         tokens.reshape(b, k, t), order[:, :, None], axis=1)      # [B, k, T]
     slot = fin_cnt[:, None] + jnp.arange(k)[None, :]
     write = slot < k
-    slot_c = jnp.clip(slot, 0, n_cand - 1)
-    onehot = write[:, :, None] & (slot_c[:, :, None] == jnp.arange(n_cand)[None, None, :])
+    slot_c = jnp.clip(slot, 0, n_buf - 1)
+    onehot = write[:, :, None] & (slot_c[:, :, None] == jnp.arange(n_buf)[None, None, :])
     any_w = onehot.any(axis=1)
     fin_score = jnp.where(
         any_w, jnp.einsum("bkc,bk->bc", onehot.astype(jnp.float32), pad_lp), fin_score)
-    fin_ntext = jnp.where(any_w, i_exit, fin_ntext)
+    fin_ntext = jnp.where(any_w, i_done[:, None], fin_ntext)
     fin_tok = jnp.where(
         any_w[:, :, None],
         jnp.einsum("bkc,bkt->bct", onehot.astype(jnp.int32), pad_rows), fin_tok)

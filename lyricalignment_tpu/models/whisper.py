@@ -206,6 +206,33 @@ def init_whisper_params(key: jax.Array, cfg: WhisperConfig) -> Params:
     }
 
 
+def bf16_resident_params(whisper_params: Params) -> Params:
+    """Store whisper weights bf16-resident for inference.
+
+    The bf16 compute path casts every matmul weight to bf16 per-op anyway,
+    so storing those weights bf16 is numerics-identical and halves the
+    weight-stream bytes of each forward/decode step (PARITY.md). The
+    decoder's ``token_embedding`` is the one exception and stays f32: the
+    unembedding logit matmuls (``decoder_logits``/``prime_decode_cache``/
+    ``decode_step``) deliberately run in f32 so whisper's avg_logprob /
+    no-speech quality gates see full-precision scores, and a bf16-rounded
+    weight there would shift them. ``positional_embedding`` is kept f32 for
+    the same embeddings-stay-f32 rule (it is tiny; under bf16 compute the
+    per-op cast makes residency numerically irrelevant for it).
+    """
+    keep_f32 = ("token_embedding", "positional_embedding")
+
+    def cast(path, x):
+        if getattr(x, "dtype", None) != jnp.float32 or x.ndim < 2:
+            return x
+        for entry in path:
+            if getattr(entry, "key", None) in keep_f32:
+                return x
+        return x.astype(jnp.bfloat16)
+
+    return jax.tree_util.tree_map_with_path(cast, whisper_params)
+
+
 # ---------------------------------------------------------------------------
 # Apply
 # ---------------------------------------------------------------------------

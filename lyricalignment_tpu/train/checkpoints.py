@@ -127,12 +127,18 @@ class BestCheckpointPolicy:
         return saved
 
 
-def export_reference_pt(params: Any, path: str) -> None:
-    """Write a reference-named torch state dict (interop; needs torch)."""
+def export_reference_pt(params: Any, path: str,
+                        n_audio_ctx: int = 1500) -> None:
+    """Write a reference-named torch state dict (interop; needs torch).
+
+    ``n_audio_ctx`` sizes the synthesized encoder positional-embedding
+    buffer and must match the model's config (1500 for every published
+    whisper size) or a strict ``load_state_dict`` on the reference side
+    fails on the buffer shape."""
     import torch
 
     from lyricalignment_tpu.models.convert import align_params_to_state_dict
 
     sd = {k: torch.from_numpy(np.asarray(v)) for k, v in
-          align_params_to_state_dict(params).items()}
+          align_params_to_state_dict(params, n_audio_ctx=n_audio_ctx).items()}
     torch.save(sd, path)

@@ -43,10 +43,9 @@ def main():
     mcfg = AlignModelConfig(whisper=wcfg, hidden_dim=384, output_dim=21129)
     params = init_align_model(jax.random.PRNGKey(0), mcfg)
     wt = WhisperTokenizer()
-    dparams = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 and x.ndim >= 2 else x,
-        params["whisper"])
+    from lyricalignment_tpu.models.whisper import bf16_resident_params
+
+    dparams = bf16_resident_params(params["whisper"])
     enc_params = params["whisper"]
 
     def make_fn(batch, beam):

@@ -83,8 +83,11 @@ def test_aligner_transcribe_longform_route(model_dir, tmp_path):
 
 
 def test_load_model_dir_bf16_resident_weights(model_dir):
-    """--bf16 makes the whisper weights bf16-RESIDENT (half the per-forward
-    weight stream; numerics identical to the per-op cast) while the align
+    """--bf16 makes the whisper matmul weights bf16-RESIDENT (half the
+    per-forward weight stream; numerics identical to the per-op cast) while
+    the decoder embedding tables stay f32 — the unembedding logit matmul
+    deliberately runs in f32 (avg_logprob / no-speech gates), so a
+    bf16-rounded token_embedding would shift decode scores — and the align
     head stays f32; default load also turns on the one-pass encoder."""
     import jax.numpy as jnp
 
@@ -93,7 +96,12 @@ def test_load_model_dir_bf16_resident_weights(model_dir):
     mcfg, params, _ = load_model_dir(model_dir, use_bf16=True)
     assert mcfg.whisper.compute_dtype == jnp.bfloat16
     assert mcfg.whisper.onepass_encoder
-    w_leaves = jax.tree_util.tree_leaves(params["whisper"])
+    dec = params["whisper"]["decoder"]
+    assert dec["token_embedding"].dtype == jnp.float32
+    assert dec["positional_embedding"].dtype == jnp.float32
+    emb_ids = {id(dec["token_embedding"]), id(dec["positional_embedding"])}
+    w_leaves = [x for x in jax.tree_util.tree_leaves(params["whisper"])
+                if id(x) not in emb_ids]
     assert all(x.dtype == jnp.bfloat16 for x in w_leaves if x.ndim >= 2)
     h_leaves = jax.tree_util.tree_leaves(params["align_head"])
     assert all(x.dtype != jnp.bfloat16 for x in h_leaves)

@@ -162,6 +162,11 @@ CASES = [
     (7, 1, 10, None, None),    # beam-1
     (8, 5, 24, None, None),
     (9, 3, 12, 0.8, 1.5),
+    (10, 5, 12, None, 0.6),    # patience < 1: finished set SMALLER than
+                               # beam (whisper allows round(k*p) >= 1);
+                               # finalize pads the remainder with live beams
+    (11, 4, 10, 1.0, 0.5),     # patience < 1 with length penalty
+    (12, 3, 14, None, 0.34),   # max_candidates == 1: earliest finisher wins
 ]
 
 
