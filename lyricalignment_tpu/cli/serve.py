@@ -47,6 +47,13 @@ def parse_args(argv=None):
     p.add_argument("--beam-size", type=int, default=5)
     p.add_argument("--max-new-tokens", type=int, default=224,
                    help="decode token budget per 30 s window")
+    p.add_argument("--length-penalty", type=float, default=None,
+                   help="Google-NMT beam ranking penalty (default: rank by "
+                        "plain length-normalized logprob, whisper's default)")
+    p.add_argument("--patience", type=float, default=None,
+                   help="beam patience: finished-candidate set holds "
+                        "round(beam_size * patience) sequences (whisper "
+                        "semantics; values < 1 allowed)")
     p.add_argument("--max-batch", type=int, default=16,
                    help="max queued alignment requests fused into one "
                         "device batch (16 = the measured per-chip "
@@ -68,7 +75,9 @@ def _handle_one(aligner, args, req):
         if req.get("task") == "transcribe":
             text = aligner.transcribe(
                 path, whisper_bpe=args.whisper_bpe, beam_size=args.beam_size,
-                max_new_tokens=getattr(args, "max_new_tokens", 224))
+                max_new_tokens=getattr(args, "max_new_tokens", 224),
+                length_penalty=getattr(args, "length_penalty", None),
+                patience=getattr(args, "patience", None))
             return {"song_path": path, "inference": text}
         segments = aligner.align(path, req["lyric"])
         return {"song_path": path, "alignment": segments}
@@ -155,7 +164,9 @@ def serve(aligner, args, stdin=None, stdout=None):
                 texts = aligner.transcribe_many(
                     [reqs[i]["song_path"] for i in trans_idx],
                     whisper_bpe=args.whisper_bpe, beam_size=args.beam_size,
-                    max_new_tokens=getattr(args, "max_new_tokens", 224))
+                    max_new_tokens=getattr(args, "max_new_tokens", 224),
+                    length_penalty=getattr(args, "length_penalty", None),
+                    patience=getattr(args, "patience", None))
                 for i, text in zip(trans_idx, texts):
                     responses[i] = {"song_path": reqs[i]["song_path"],
                                     "inference": text}

@@ -46,12 +46,12 @@ def wav(tmp_path_factory):
     return path
 
 
-def _run(aligner, requests, max_batch=8, window_ms=300.0):
+def _run(aligner, requests, max_batch=8, window_ms=300.0, extra_flags=()):
     args = parse_args(["--model-dir", "ignored", "--use-ctc-loss",
                        "--synthetic-vocab",
                        "--max-batch", str(max_batch),
                        "--beam-size", "2", "--max-new-tokens", "8",
-                       "--batch-window-ms", str(window_ms)])
+                       "--batch-window-ms", str(window_ms), *extra_flags])
     stdin = io.StringIO("".join(json.dumps(r) + "\n" if isinstance(r, dict)
                                 else r + "\n" for r in requests))
     stdout = io.StringIO()
@@ -99,6 +99,20 @@ def test_batched_transcription(aligner, wav):
     assert len(out) == 2
     assert all("inference" in r for r in out)
     assert out[0]["inference"] == out[1]["inference"]
+
+
+def test_transcription_decode_knobs_thread_through(aligner, wav):
+    """--patience/--length-penalty reach the beam search on both the fused
+    batched path and the single-request fallback (patience < 1 included)."""
+    flags = ("--patience", "0.6", "--length-penalty", "1.0")
+    batched = _run(aligner, [{"song_path": wav, "task": "transcribe"},
+                             {"song_path": wav, "task": "transcribe"}],
+                   extra_flags=flags)
+    single = _run(aligner, [{"song_path": wav, "task": "transcribe"}],
+                  max_batch=1, extra_flags=flags)
+    assert all("inference" in r for r in batched + single)
+    assert batched[0]["inference"] == batched[1]["inference"]
+    assert batched[0]["inference"] == single[0]["inference"]
 
 
 def test_max_batch_one_still_serves(aligner, wav):
