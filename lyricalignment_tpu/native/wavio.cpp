@@ -38,6 +38,12 @@ struct WavHeader {
 bool read_header(FILE* f, WavHeader* h) {
     char riff[4], wave[4];
     uint32_t riff_size;
+    // File size up front: declared chunk sizes are untrusted and must be
+    // clamped to what is actually present (truncated/corrupt files).
+    long fsize = -1;
+    if (fseek(f, 0, SEEK_END) == 0) fsize = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    if (fsize < 0) return false;
     if (fread(riff, 1, 4, f) != 4 || memcmp(riff, "RIFF", 4) != 0) return false;
     if (fread(&riff_size, 4, 1, f) != 1) return false;
     if (fread(wave, 1, 4, f) != 4 || memcmp(wave, "WAVE", 4) != 0) return false;
@@ -84,7 +90,19 @@ bool read_header(FILE* f, WavHeader* h) {
         }
         if (h->data_offset >= 0 && h->sample_rate) break;
     }
-    return h->data_offset >= 0 && h->sample_rate && h->channels && h->bits;
+    if (h->data_offset < 0) return false;
+    // Clamp the declared data size to the bytes actually in the file, so
+    // frame counts derived from it are trustworthy even for truncated files.
+    const long avail = fsize - h->data_offset;
+    if (avail < 0) return false;
+    if ((long)h->data_bytes > avail) h->data_bytes = (uint32_t)avail;
+    // Sanity-validate header fields before any arithmetic uses them: a
+    // malformed bits-per-sample < 8 would otherwise make bits/8 == 0 and
+    // turn the frame-count division into a process-killing SIGFPE.
+    const bool bits_ok = h->bits == 8 || h->bits == 16 || h->bits == 24 ||
+                         h->bits == 32 || h->bits == 64;
+    return bits_ok && h->channels >= 1 && h->channels <= 256 &&
+           h->sample_rate >= 1 && h->sample_rate <= 768000;
 }
 
 }  // namespace
@@ -117,6 +135,7 @@ long wav_decode(const char* path, float* out, long max_frames, int audio_type) {
     fseek(f, h.data_offset, SEEK_SET);
     const long chunk = 1 << 16;
     uint8_t* buf = (uint8_t*)malloc((size_t)chunk * ch * bytes);
+    if (!buf) { fclose(f); return -4; }
     long done = 0;
     while (done < frames) {
         long n = std::min(chunk, frames - done);

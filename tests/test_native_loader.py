@@ -62,6 +62,73 @@ def test_missing_file_raises():
         native_loader.load_audio_file_native("/nope/missing.wav")
 
 
+# ---------------------------------------------------------------------------
+# malformed / hostile input: the native parser must reject (ValueError) or
+# truncate gracefully — never crash the process (SIGFPE/segfault), since the
+# serving path (cli/serve.py) loads caller-supplied paths in-process.
+
+import struct
+
+
+def _wav_bytes(fmt=1, channels=1, sr=16000, bits=16, data=b"\x00\x00" * 64,
+               declared_data_len=None):
+    """Hand-assemble a RIFF/WAVE file so every header field can be forged."""
+    block = channels * max(bits // 8, 1)
+    fmt_chunk = struct.pack("<HHIIHH", fmt, channels, sr,
+                            (sr * block) & 0xFFFFFFFF, block & 0xFFFF, bits)
+    dlen = len(data) if declared_data_len is None else declared_data_len
+    body = (b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", dlen) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _write(tmp_path, name, blob):
+    p = tmp_path / name
+    p.write_bytes(blob)
+    return str(p)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(bits=4),           # bits/8 == 0: used to SIGFPE in the frame count
+    dict(bits=0),
+    dict(bits=12),
+    dict(channels=0),
+    dict(channels=60000),   # absurd channel count -> giant malloc otherwise
+    dict(sr=0),
+    dict(sr=100_000_000),   # absurd rate -> unbounded FIR design otherwise
+])
+def test_malformed_header_raises_not_crashes(tmp_path, kw):
+    p = _write(tmp_path, "bad.wav", _wav_bytes(**kw))
+    with pytest.raises(ValueError):
+        native_loader.load_audio_file_native(p)
+
+
+def test_garbage_and_empty_files_raise(tmp_path):
+    for name, blob in [("garbage.wav", b"not a riff file at all" * 10),
+                       ("empty.wav", b""),
+                       ("riff_only.wav", b"RIFF\x04\x00\x00\x00WAVE")]:
+        with pytest.raises(ValueError):
+            native_loader.load_audio_file_native(_write(tmp_path, name, blob))
+
+
+def test_truncated_data_chunk_clamps_to_real_bytes(tmp_path):
+    # header declares 1000 frames but only 100 are present: the loader must
+    # report/decode the real 100, not trust the forged length.
+    real = struct.pack("<100h", *range(100))
+    p = _write(tmp_path, "trunc.wav",
+               _wav_bytes(data=real, declared_data_len=2000))
+    out = native_loader.load_audio_file_native(p)["speech"]
+    assert out.shape == (100,)
+    np.testing.assert_allclose(out, np.arange(100, dtype=np.float32) / 32768.0,
+                               atol=1e-7)
+
+
+def test_empty_data_chunk_yields_empty_audio(tmp_path):
+    p = _write(tmp_path, "zero.wav", _wav_bytes(data=b""))
+    out = native_loader.load_audio_file_native(p)["speech"]
+    assert out.shape == (0,)
+
+
 def test_dispatch_through_load_audio_file(tmp_path, rng):
     sig = (rng.standard_normal(22050) * 0.2).astype(np.float32)
     p = str(tmp_path / "d.wav")
