@@ -92,6 +92,23 @@ def test_bad_request_isolated_in_batch(aligner, wav):
     assert "error" in out[2]
 
 
+def test_malformed_wav_isolated_in_batch(aligner, wav, tmp_path):
+    """A corrupt WAV (forged bits-per-sample — formerly a native-parser
+    SIGFPE) must surface as a per-request error, not kill the server."""
+    import struct
+    fmt_chunk = struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 4)
+    body = (b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", 64) + b"\x00" * 64)
+    bad = tmp_path / "bad_bits.wav"
+    bad.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+    out = _run(aligner, [{"song_path": wav, "lyric": "你好"},
+                         {"song_path": str(bad), "lyric": "你好"}])
+    assert len(out) == 2
+    assert "alignment" in out[0]
+    assert "error" in out[1] and out[1]["song_path"] == str(bad)
+
+
 def test_batched_transcription(aligner, wav):
     reqs = [{"song_path": wav, "task": "transcribe"},
             {"song_path": wav, "task": "transcribe"}]
