@@ -21,7 +21,10 @@ align_large sub row stays large), BENCH_BATCH (default 16, the measured
 medium-alignment knee), BENCH_ITERS (default 8), BENCH_SECONDS (clip
 length, default 30), BENCH_LONGFORM_SECONDS (default 90), BENCH_SUB=0
 (skip sub metrics in full mode), BENCH_TRAIN_REMAT=1 (rematerialised train
-step for large configs).
+step for large configs), BENCH_PROBE_ATTEMPTS (backend probes before
+giving up, default 6), BENCH_ALLOW_CPU=1 (force a host-CPU run for local
+smoke tests — without it a missing accelerator exits non-zero rather than
+recording CPU-fallback numbers as the round's headline).
 
 Measurement notes (axon TPU tunnel, see CLAUDE.md): a synchronous jit call
 round-trips in ~30-40 ms and ``block_until_ready`` returns before remote
@@ -326,19 +329,38 @@ def _guarded(fn, *args, **kw):
         return None
 
 
-def _wait_for_backend(attempts=3, probe_timeout=150, sleeps=(60, 120)):
-    """Gate on TPU backend availability before any in-process device use.
+def _wait_for_backend(attempts=None, probe_timeout=150,
+                      sleeps=(60, 120, 180, 240, 300)):
+    """Gate on a REAL accelerator before any in-process device use.
 
     The axon tunnel intermittently refuses/hangs backend setup
     (UNAVAILABLE); jax caches a failed init for the process lifetime, so
     the probe runs in a SUBPROCESS (serially — never two live TPU
     processes, CLAUDE.md) and the main process only touches the device
-    once a probe has succeeded. If every probe fails the bench proceeds
-    anyway and fails loudly with the real error."""
+    once a probe has succeeded. The probe also asserts the platform is
+    not CPU: when the tunnel is down jax silently falls back to host CPU,
+    and recording CPU throughput as the round's headline would be far
+    worse than failing. Set BENCH_ALLOW_CPU=1 for local smoke runs; tune
+    patience with BENCH_PROBE_ATTEMPTS. If every probe fails, exit
+    non-zero WITHOUT printing a metric line (a missing bench is diagnosable;
+    a fake number is not)."""
     import subprocess
     import sys
 
+    allow_cpu = os.environ.get("BENCH_ALLOW_CPU") == "1"
+    if allow_cpu:
+        # BENCH_ALLOW_CPU=1 means "run this smoke on the host CPU, full
+        # stop" — force the platform (the axon env exports
+        # JAX_PLATFORMS=axon, which would otherwise hang init or error
+        # when the plugin/tunnel is absent). No probe needed: CPU always
+        # initializes.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        return
+    if attempts is None:
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "6"))
     probe = ("import jax, numpy as np, jax.numpy as jnp;"
+             "assert jax.devices()[0].platform != 'cpu', 'cpu fallback';"
              "x = jnp.ones((8, 8));"
              "print(np.asarray(x @ x)[0, 0])")
     for i in range(attempts):
@@ -347,13 +369,19 @@ def _wait_for_backend(attempts=3, probe_timeout=150, sleeps=(60, 120)):
                                timeout=probe_timeout, capture_output=True)
             if r.returncode == 0:
                 return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            err = err[-1] if err else "?"
         except subprocess.TimeoutExpired:
-            pass
+            err = f"probe timed out after {probe_timeout}s"
         if i < attempts - 1:
             wait = sleeps[min(i, len(sleeps) - 1)]
-            print(f"# backend probe {i + 1}/{attempts} failed; "
+            print(f"# backend probe {i + 1}/{attempts} failed ({err}); "
                   f"retrying in {wait}s", file=sys.stderr, flush=True)
             time.sleep(wait)
+    print(f"# no usable accelerator after {attempts} probes ({err}); "
+          "refusing to record CPU-fallback numbers "
+          "(set BENCH_ALLOW_CPU=1 to override)", file=sys.stderr, flush=True)
+    raise SystemExit(3)
 
 
 def main():
