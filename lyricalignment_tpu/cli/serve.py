@@ -9,6 +9,8 @@ Request:  {"song_path": "...", "lyric": "..."}            -> alignment
 Response: {"song_path": ..., "alignment": [[on, off, char], ...]}
           {"song_path": ..., "inference": "..."}
           {"song_path": ..., "error": "..."} on failure
+An optional request ``"id"`` is echoed verbatim on the response (success
+or error) for correlation; responses otherwise come back in request order.
 
 Continuous batching: a reader thread feeds a queue; the serve loop drains
 up to ``--max-batch`` queued requests per iteration (waiting at most
@@ -182,6 +184,13 @@ def serve(aligner, args, stdin=None, stdout=None):
                                     "error": f"{type(r).__name__}: {r}"}
                 else:
                     responses[i] = _handle_one(aligner, args, r)
+
+        # echo a client-supplied request id on every response (success or
+        # error) so callers can correlate without relying on song_path
+        # uniqueness or response order
+        for i, r in enumerate(reqs):
+            if isinstance(r, dict) and "id" in r:
+                responses[i]["id"] = r["id"]
 
         for resp in responses:
             stdout.write(json.dumps(resp, ensure_ascii=False) + "\n")

@@ -109,6 +109,16 @@ def test_malformed_wav_isolated_in_batch(aligner, wav, tmp_path):
     assert "error" in out[1] and out[1]["song_path"] == str(bad)
 
 
+def test_request_id_echoed(aligner, wav):
+    reqs = [{"song_path": wav, "lyric": "你好", "id": 7},
+            {"song_path": "/nonexistent/x.wav", "lyric": "你", "id": "req-b"},
+            {"song_path": wav, "lyric": "人"}]
+    out = _run(aligner, reqs)
+    assert out[0]["id"] == 7 and "alignment" in out[0]
+    assert out[1]["id"] == "req-b" and "error" in out[1]
+    assert "id" not in out[2]
+
+
 def test_batched_transcription(aligner, wav):
     reqs = [{"song_path": wav, "task": "transcribe"},
             {"song_path": wav, "task": "transcribe"}]
