@@ -363,6 +363,7 @@ def _wait_for_backend(attempts=None, probe_timeout=150,
              "assert jax.devices()[0].platform != 'cpu', 'cpu fallback';"
              "x = jnp.ones((8, 8));"
              "print(np.asarray(x @ x)[0, 0])")
+    err = "no probes attempted (BENCH_PROBE_ATTEMPTS=0?)"
     for i in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", probe],

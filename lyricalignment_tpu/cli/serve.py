@@ -65,7 +65,16 @@ def parse_args(argv=None):
                    help="after the first request of a batch, wait up to "
                         "this long for more (0 = only drain the backlog)")
     add_asset_args(p)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    # Fail fast on a decode config every transcribe request would reject:
+    # whisper's BeamSearchDecoder requires round(beam_size * patience) > 0
+    # (decode/beam.py raises per-call; by then the model is already loaded
+    # and the server would error forever).
+    if args.patience is not None and round(args.beam_size * args.patience) < 1:
+        p.error(f"--patience {args.patience} with --beam-size {args.beam_size} "
+                "gives round(beam_size * patience) < 1; no finished "
+                "candidates could ever be kept")
+    return args
 
 
 def _handle_one(aligner, args, req):

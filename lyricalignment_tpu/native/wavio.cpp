@@ -58,20 +58,22 @@ bool read_header(FILE* f, WavHeader* h) {
             uint32_t sr, byte_rate;
             uint16_t block, bits;
             if (size < 16) return false;
-            fread(&fmt, 2, 1, f);
-            fread(&ch, 2, 1, f);
-            fread(&sr, 4, 1, f);
-            fread(&byte_rate, 4, 1, f);
-            fread(&block, 2, 1, f);
-            fread(&bits, 2, 1, f);
+            // Short reads (file truncated inside the fmt payload) must fail
+            // the parse, never leave these stack fields uninitialized.
+            if (fread(&fmt, 2, 1, f) != 1 ||
+                fread(&ch, 2, 1, f) != 1 ||
+                fread(&sr, 4, 1, f) != 1 ||
+                fread(&byte_rate, 4, 1, f) != 1 ||
+                fread(&block, 2, 1, f) != 1 ||
+                fread(&bits, 2, 1, f) != 1) return false;
             if (fmt == 0xFFFE && size >= 40) {  // WAVE_FORMAT_EXTENSIBLE
                 uint16_t ext_size, valid_bits;
                 uint32_t mask;
                 uint16_t subformat;
-                fread(&ext_size, 2, 1, f);
-                fread(&valid_bits, 2, 1, f);
-                fread(&mask, 4, 1, f);
-                fread(&subformat, 2, 1, f);
+                if (fread(&ext_size, 2, 1, f) != 1 ||
+                    fread(&valid_bits, 2, 1, f) != 1 ||
+                    fread(&mask, 4, 1, f) != 1 ||
+                    fread(&subformat, 2, 1, f) != 1) return false;
                 fmt = subformat;
                 fseek(f, (long)size - 16 - 10, SEEK_CUR);
             } else if (size > 16) {

@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def main():
+    import bench as benchmod
+
+    benchmod._wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 
@@ -97,7 +101,9 @@ def main():
         del audio
 
     print(json.dumps({"sweep": "decode_batch", "model": model_name,
-                      "max_new_tokens": max_new, "results": results}))
+                      "max_new_tokens": max_new,
+                      "platform": jax.devices()[0].platform,
+                      "results": results}))
 
 
 if __name__ == "__main__":

@@ -69,17 +69,7 @@ def test_missing_file_raises():
 
 import struct
 
-
-def _wav_bytes(fmt=1, channels=1, sr=16000, bits=16, data=b"\x00\x00" * 64,
-               declared_data_len=None):
-    """Hand-assemble a RIFF/WAVE file so every header field can be forged."""
-    block = channels * max(bits // 8, 1)
-    fmt_chunk = struct.pack("<HHIIHH", fmt, channels, sr,
-                            (sr * block) & 0xFFFFFFFF, block & 0xFFFF, bits)
-    dlen = len(data) if declared_data_len is None else declared_data_len
-    body = (b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
-            + b"data" + struct.pack("<I", dlen) + data)
-    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+from tests.conftest import forge_wav_bytes as _wav_bytes
 
 
 def _write(tmp_path, name, blob):

@@ -95,12 +95,9 @@ def test_bad_request_isolated_in_batch(aligner, wav):
 def test_malformed_wav_isolated_in_batch(aligner, wav, tmp_path):
     """A corrupt WAV (forged bits-per-sample — formerly a native-parser
     SIGFPE) must surface as a per-request error, not kill the server."""
-    import struct
-    fmt_chunk = struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 4)
-    body = (b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
-            + b"data" + struct.pack("<I", 64) + b"\x00" * 64)
+    from tests.conftest import forge_wav_bytes
     bad = tmp_path / "bad_bits.wav"
-    bad.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    bad.write_bytes(forge_wav_bytes(bits=4, data=b"\x00" * 64))
 
     out = _run(aligner, [{"song_path": wav, "lyric": "你好"},
                          {"song_path": str(bad), "lyric": "你好"}])
