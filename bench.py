@@ -11,8 +11,15 @@ headline alignment metric plus a ``sub`` object so every round's
 
 ``vs_baseline`` is the ratio against the 50x-real-time per-chip target from
 BASELINE.json (the reference publishes no speed numbers — SURVEY.md §6).
-Sub-benchmarks are individually guarded: a failure records null instead of
-killing the bench.
+
+Full mode is DEADLINE-SAFE: the parent process never touches the device —
+it runs the headline and each sub-bench in serial subprocesses (never two
+live TPU processes, CLAUDE.md) and keeps the best-so-far result in memory.
+The one JSON line is emitted the moment the run completes, the
+``BENCH_TIME_BUDGET`` deadline passes, or the parent receives
+SIGTERM/SIGINT/SIGALRM — so a driver timeout can truncate the sub surface
+(missing entries record null) but can no longer lose a measured headline
+(round-3 post-mortem, VERDICT.md).
 
 Env knobs: BENCH_MODE (full | align | transcribe | train | longform),
 BENCH_MODEL (tiny|base|small|medium|large, default medium; in full mode it
@@ -21,10 +28,12 @@ align_large sub row stays large), BENCH_BATCH (default 16, the measured
 medium-alignment knee), BENCH_ITERS (default 8), BENCH_SECONDS (clip
 length, default 30), BENCH_LONGFORM_SECONDS (default 90), BENCH_SUB=0
 (skip sub metrics in full mode), BENCH_TRAIN_REMAT=1 (rematerialised train
-step for large configs), BENCH_PROBE_ATTEMPTS (backend probes before
-giving up, default 6), BENCH_ALLOW_CPU=1 (force a host-CPU run for local
-smoke tests — without it a missing accelerator exits non-zero rather than
-recording CPU-fallback numbers as the round's headline).
+step for large configs), BENCH_TIME_BUDGET (full-mode wall budget in
+seconds, default 1500 — emit whatever is measured before it expires),
+BENCH_PROBE_ATTEMPTS (backend probes before giving up, default 3),
+BENCH_ALLOW_CPU=1 (force a host-CPU run for local smoke tests — without it
+a missing accelerator exits non-zero rather than recording CPU-fallback
+numbers as the round's headline).
 
 Measurement notes (axon TPU tunnel, see CLAUDE.md): a synchronous jit call
 round-trips in ~30-40 ms and ``block_until_ready`` returns before remote
@@ -33,9 +42,11 @@ host value as the completion barrier.
 """
 
 import dataclasses
-import gc
 import json
 import os
+import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -316,21 +327,7 @@ def _emit(metric, value, sub=None):
     print(json.dumps(line))
 
 
-def _guarded(fn, *args, **kw):
-    import traceback
-
-    try:
-        v = fn(*args, **kw)
-        gc.collect()
-        return v
-    except Exception:
-        traceback.print_exc()
-        gc.collect()
-        return None
-
-
-def _wait_for_backend(attempts=None, probe_timeout=150,
-                      sleeps=(60, 120, 180, 240, 300)):
+def _wait_for_backend(attempts=None, probe_timeout=150, sleeps=(20, 40)):
     """Gate on a REAL accelerator before any in-process device use.
 
     The axon tunnel intermittently refuses/hangs backend setup
@@ -341,12 +338,10 @@ def _wait_for_backend(attempts=None, probe_timeout=150,
     not CPU: when the tunnel is down jax silently falls back to host CPU,
     and recording CPU throughput as the round's headline would be far
     worse than failing. Set BENCH_ALLOW_CPU=1 for local smoke runs; tune
-    patience with BENCH_PROBE_ATTEMPTS. If every probe fails, exit
-    non-zero WITHOUT printing a metric line (a missing bench is diagnosable;
-    a fake number is not)."""
-    import subprocess
-    import sys
-
+    patience with BENCH_PROBE_ATTEMPTS (default 3 — worst case ~8.5 min,
+    down from round 3's ~30 min which consumed the whole capture window).
+    If every probe fails, exit non-zero WITHOUT printing a metric line
+    (a missing bench is diagnosable; a fake number is not)."""
     allow_cpu = os.environ.get("BENCH_ALLOW_CPU") == "1"
     if allow_cpu:
         # BENCH_ALLOW_CPU=1 means "run this smoke on the host CPU, full
@@ -357,8 +352,10 @@ def _wait_for_backend(attempts=None, probe_timeout=150,
         import jax
         jax.config.update("jax_platforms", "cpu")
         return
+    if os.environ.get("_BENCH_CHILD") == "1":
+        return  # parent orchestrator already probed; don't pay it again
     if attempts is None:
-        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "6"))
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
     probe = ("import jax, numpy as np, jax.numpy as jnp;"
              "assert jax.devices()[0].platform != 'cpu', 'cpu fallback';"
              "x = jnp.ones((8, 8));"
@@ -385,10 +382,129 @@ def _wait_for_backend(attempts=None, probe_timeout=150,
     raise SystemExit(3)
 
 
+# ---------------------------------------------------------------------------
+# Full-mode orchestrator: deadline-safe, subprocess-isolated (VERDICT r03 #1)
+# ---------------------------------------------------------------------------
+
+_RESULT = {"metric": None, "value": None, "sub": None, "emitted": False}
+_CURRENT_CHILD = None
+
+
+def _emit_result_and_exit(rc_if_empty=4):
+    """Print the single JSON line from whatever has been measured so far."""
+    if _RESULT["emitted"]:
+        os._exit(0)
+    if _RESULT["value"] is None:
+        print("# bench interrupted before the headline was measured; "
+              "no metric line", file=sys.stderr, flush=True)
+        os._exit(rc_if_empty)
+    _RESULT["emitted"] = True
+    _emit(_RESULT["metric"], _RESULT["value"], _RESULT["sub"])
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _on_deadline_signal(signum, frame):
+    print(f"# signal {signum}: emitting best-so-far result",
+          file=sys.stderr, flush=True)
+    child = _CURRENT_CHILD
+    if child is not None and child.poll() is None:
+        child.kill()
+    _emit_result_and_exit()
+
+
+def _run_child_bench(mode, deadline, cap=420, env_extra=None):
+    """One bench mode in a subprocess; returns its measured value or None.
+
+    Serial children keep the never-two-TPU-processes invariant while the
+    parent stays signal-responsive (a parent blocked inside a remote jax
+    fetch cannot run Python signal handlers; a parent waiting on a child
+    can). Child jax init on a warm tunnel is ~7 s — noise next to the
+    1-5 min remote compiles."""
+    global _CURRENT_CHILD
+    remaining = deadline - time.monotonic()
+    if remaining < 120:
+        print(f"# skipping {mode}: {remaining:.0f}s left in budget",
+              file=sys.stderr, flush=True)
+        return None
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    env["BENCH_MODE"] = mode
+    env["_BENCH_CHILD"] = "1"
+    try:
+        _CURRENT_CHILD = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=None, text=True)
+        out, _ = _CURRENT_CHILD.communicate(timeout=min(cap, remaining - 30))
+        rc = _CURRENT_CHILD.returncode
+    except subprocess.TimeoutExpired:
+        _CURRENT_CHILD.kill()
+        _CURRENT_CHILD.communicate()
+        print(f"# {mode} child timed out", file=sys.stderr, flush=True)
+        return None
+    finally:
+        _CURRENT_CHILD = None
+    if rc != 0:
+        print(f"# {mode} child failed (rc={rc})", file=sys.stderr, flush=True)
+        return None
+    for line in reversed((out or "").strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(parsed, dict) and "value" in parsed:
+            return parsed["value"]
+    print(f"# {mode} child printed no metric line", file=sys.stderr, flush=True)
+    return None
+
+
+def _full_main(model_name):
+    """Headline + sub surface, each in its own serial subprocess."""
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1500"))
+    deadline = time.monotonic() + budget
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+        signal.signal(sig, _on_deadline_signal)
+    # hard alarm just inside the budget so a stuck child can't overrun it
+    signal.alarm(max(int(budget) - 10, 60))
+
+    _wait_for_backend()
+    _RESULT["metric"] = f"alignment_throughput_{model_name}"
+
+    # headline first — it is the metric the driver records; give it a
+    # retry because a fresh tunnel sometimes drops the first real workload
+    for attempt in range(2):
+        value = _run_child_bench("align", deadline, cap=600)
+        if value is not None:
+            _RESULT["value"] = value
+            break
+        if attempt == 0:
+            print("# headline failed; retrying once", file=sys.stderr, flush=True)
+    if _RESULT["value"] is None:
+        print("# headline never measured; exiting without a metric line",
+              file=sys.stderr, flush=True)
+        raise SystemExit(4)
+
+    if os.environ.get("BENCH_SUB", "1") != "0":
+        sub_plan = [
+            (f"transcribe_{model_name}_beam5", "transcribe", {}),
+            (f"train_{model_name}", "train", {}),
+            ("align_large", "align", {"BENCH_MODEL": "large"}),
+            (f"longform_{model_name}_beam5", "longform", {}),
+        ]
+        _RESULT["sub"] = {k: None for k, _, _ in sub_plan}
+        for key, mode, extra in sub_plan:
+            _RESULT["sub"][key] = _run_child_bench(mode, deadline, env_extra=extra)
+
+    _emit_result_and_exit()
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "full")
-    _wait_for_backend()
     model_name = os.environ.get("BENCH_MODEL", "medium")
+    if mode == "full":
+        _full_main(model_name)
+        return
+    _wait_for_backend()
     # batch 16 is the measured throughput knee for medium alignment on one
     # v5e chip (same-run sweep: 1497 -> 2035 audio-s/s going 8 -> 16, flat
     # at 32 — PARITY.md); BENCH_BATCH restores other operating points
@@ -409,21 +525,8 @@ def main():
     elif mode == "longform":
         _emit(f"longform_throughput_{model_name}_beam5",
               bench_longform(model_name, longform_seconds, iters))
-    else:  # full: headline (BENCH_MODEL, default medium) + sub surface
-        headline = bench_align(model_name, batch, iters, clip_seconds)
-        gc.collect()
-        sub = None
-        if os.environ.get("BENCH_SUB", "1") != "0":
-            sub = {
-                f"transcribe_{model_name}_beam5": _guarded(
-                    bench_transcribe, model_name, batch, iters, clip_seconds),
-                f"train_{model_name}": _guarded(
-                    bench_train, model_name, iters, clip_seconds),
-                "align_large": _guarded(bench_align, "large", batch, iters, clip_seconds),
-                f"longform_{model_name}_beam5": _guarded(
-                    bench_longform, model_name, longform_seconds, iters),
-            }
-        _emit(f"alignment_throughput_{model_name}", headline, sub)
+    else:
+        raise SystemExit(f"unknown BENCH_MODE={mode!r}")
 
 
 if __name__ == "__main__":
