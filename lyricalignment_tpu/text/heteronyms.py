@@ -1,0 +1,278 @@
+"""Context readings for polyphonic characters (多音字).
+
+The reference phonemizes whole strings with pypinyin's ``lazy_pinyin``
+(`utils/CER.py:79-95`), which disambiguates polyphonic characters through its
+phrase dictionary (max-match segmentation): 银行 -> ``yin hang``, 音乐 ->
+``yin yue``, 重庆 -> ``chong qing``. A single-reading-per-character table
+(``text.pinyin.CharPhonemizer``'s fallback) would phonemize those to the
+character's most-common reading instead, making PER diverge from the
+reference on heteronym-bearing lyrics (VERDICT r03 missing #2).
+
+This module embeds a compact phrase -> readings dictionary covering the
+high-frequency polyphonic characters whose alternative readings differ
+SEGMENTALLY. PER is toneless (lazy_pinyin NORMAL style), so tone-only
+heteronyms (为 wei2/wei4, 好 hao3/hao4, 种 zhong3/zhong4, ...) need no
+entries — every reading collapses to the same toneless syllable. Only
+characters like 行 (xing/hang), 乐 (le/yue), 重 (zhong/chong), 长
+(chang/zhang) can change the phoneme stream, and those are listed here with
+the dictionary words that select each reading.
+
+Orthography matches the shipped pronunciation table (pypinyin v-style:
+``lv``/``nve``, see ``assets/bert_base_chinese_pronunce_table.json``).
+
+Application rule (``CharPhonemizer``): greedy longest-match left-to-right —
+the same max-match strategy pypinyin's default segmenter uses over its
+phrases dict. Characters outside any matched phrase keep the table's
+single reading, which equals ``lazy_pinyin(char)`` by construction
+(`prep/get_pronunce_table.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+# phrase -> one toneless syllable per character (lazy_pinyin output).
+# Grouped by the polyphonic character that motivates the entry; a phrase may
+# pin more than one heteronym (着重 -> zhuo zhong, 弹壳 -> dan ke).
+_P: Dict[str, Tuple[str, ...]] = {
+    # 行 xing | hang
+    "银行": ("yin", "hang"), "行业": ("hang", "ye"), "行列": ("hang", "lie"),
+    "行情": ("hang", "qing"), "行家": ("hang", "jia"), "排行": ("pai", "hang"),
+    "分行": ("fen", "hang"), "央行": ("yang", "hang"), "外行": ("wai", "hang"),
+    "内行": ("nei", "hang"), "行当": ("hang", "dang"),
+    "各行各业": ("ge", "hang", "ge", "ye"),
+    "字里行间": ("zi", "li", "hang", "jian"),
+    # 乐 le | yue
+    "音乐": ("yin", "yue"), "乐器": ("yue", "qi"), "乐队": ("yue", "dui"),
+    "乐团": ("yue", "tuan"), "乐曲": ("yue", "qu"), "乐章": ("yue", "zhang"),
+    "乐谱": ("yue", "pu"), "乐坛": ("yue", "tan"), "乐手": ("yue", "shou"),
+    "乐师": ("yue", "shi"), "乐理": ("yue", "li"), "乐府": ("yue", "fu"),
+    "声乐": ("sheng", "yue"), "器乐": ("qi", "yue"), "奏乐": ("zou", "yue"),
+    "交响乐": ("jiao", "xiang", "yue"), "管弦乐": ("guan", "xian", "yue"),
+    # 重 zhong | chong
+    "重庆": ("chong", "qing"), "重新": ("chong", "xin"),
+    "重逢": ("chong", "feng"), "重复": ("chong", "fu"),
+    "重来": ("chong", "lai"), "重温": ("chong", "wen"),
+    "重叠": ("chong", "die"), "重播": ("chong", "bo"),
+    "重启": ("chong", "qi"), "重申": ("chong", "shen"),
+    "重修": ("chong", "xiu"), "重组": ("chong", "zu"),
+    "重塑": ("chong", "su"), "重现": ("chong", "xian"),
+    "重演": ("chong", "yan"), "重归": ("chong", "gui"),
+    "重回": ("chong", "hui"), "重提": ("chong", "ti"),
+    "重建": ("chong", "jian"), "重生": ("chong", "sheng"),
+    "重圆": ("chong", "yuan"), "重游": ("chong", "you"),
+    "重蹈": ("chong", "dao"), "重重": ("chong", "chong"),
+    # 长 chang | zhang (both listed: common dictionary words for each)
+    "长久": ("chang", "jiu"), "长远": ("chang", "yuan"),
+    "长夜": ("chang", "ye"), "长空": ("chang", "kong"),
+    "长河": ("chang", "he"), "长发": ("chang", "fa"),
+    "漫长": ("man", "chang"), "悠长": ("you", "chang"),
+    "修长": ("xiu", "chang"), "细长": ("xi", "chang"),
+    "长城": ("chang", "cheng"), "长江": ("chang", "jiang"),
+    "长安": ("chang", "an"), "长沙": ("chang", "sha"),
+    "长春": ("chang", "chun"), "长廊": ("chang", "lang"),
+    "长存": ("chang", "cun"), "长眠": ("chang", "mian"),
+    "长度": ("chang", "du"), "长短": ("chang", "duan"),
+    "长袖": ("chang", "xiu"), "长裙": ("chang", "qun"),
+    "长跑": ("chang", "pao"), "长途": ("chang", "tu"),
+    "长期": ("chang", "qi"), "延长": ("yan", "chang"),
+    "冗长": ("rong", "chang"), "专长": ("zhuan", "chang"),
+    "擅长": ("shan", "chang"), "特长": ("te", "chang"),
+    "源远流长": ("yuan", "yuan", "liu", "chang"),
+    "天长地久": ("tian", "chang", "di", "jiu"),
+    "地久天长": ("di", "jiu", "tian", "chang"),
+    "来日方长": ("lai", "ri", "fang", "chang"),
+    "成长": ("cheng", "zhang"), "长大": ("zhang", "da"),
+    "生长": ("sheng", "zhang"), "长辈": ("zhang", "bei"),
+    "校长": ("xiao", "zhang"), "队长": ("dui", "zhang"),
+    "班长": ("ban", "zhang"), "家长": ("jia", "zhang"),
+    "船长": ("chuan", "zhang"), "市长": ("shi", "zhang"),
+    "董事长": ("dong", "shi", "zhang"), "长老": ("zhang", "lao"),
+    "年长": ("nian", "zhang"), "助长": ("zhu", "zhang"),
+    "增长": ("zeng", "zhang"), "滋长": ("zi", "zhang"),
+    "师长": ("shi", "zhang"), "学长": ("xue", "zhang"),
+    "兄长": ("xiong", "zhang"), "长相": ("zhang", "xiang"),
+    # 着 zhe | zhao | zhuo
+    "着急": ("zhao", "ji"), "着迷": ("zhao", "mi"),
+    "着火": ("zhao", "huo"), "着凉": ("zhao", "liang"),
+    "着魔": ("zhao", "mo"), "睡着": ("shui", "zhao"),
+    "执着": ("zhi", "zhuo"), "沉着": ("chen", "zhuo"),
+    "着陆": ("zhuo", "lu"), "着想": ("zhuo", "xiang"),
+    "着手": ("zhuo", "shou"), "着重": ("zhuo", "zhong"),
+    "衣着": ("yi", "zhuo"), "着装": ("zhuo", "zhuang"),
+    "着色": ("zhuo", "se"), "附着": ("fu", "zhuo"),
+    "着落": ("zhuo", "luo"),
+    # 了 le | liao
+    "了解": ("liao", "jie"), "了却": ("liao", "que"),
+    "了结": ("liao", "jie"), "了断": ("liao", "duan"),
+    "了无": ("liao", "wu"), "未了": ("wei", "liao"),
+    "忘不了": ("wang", "bu", "liao"), "受不了": ("shou", "bu", "liao"),
+    "少不了": ("shao", "bu", "liao"), "免不了": ("mian", "bu", "liao"),
+    "大不了": ("da", "bu", "liao"), "了不起": ("liao", "bu", "qi"),
+    "不得了": ("bu", "de", "liao"),
+    "一目了然": ("yi", "mu", "liao", "ran"),
+    "一了百了": ("yi", "liao", "bai", "liao"),
+    "没完没了": ("mei", "wan", "mei", "liao"),
+    # 还 hai | huan
+    "归还": ("gui", "huan"), "偿还": ("chang", "huan"),
+    "还债": ("huan", "zhai"), "还原": ("huan", "yuan"),
+    "还击": ("huan", "ji"), "还手": ("huan", "shou"),
+    "还愿": ("huan", "yuan"), "奉还": ("feng", "huan"),
+    "返还": ("fan", "huan"), "生还": ("sheng", "huan"),
+    "还礼": ("huan", "li"), "退还": ("tui", "huan"),
+    # 都 dou | du
+    "首都": ("shou", "du"), "都市": ("du", "shi"), "古都": ("gu", "du"),
+    "成都": ("cheng", "du"), "京都": ("jing", "du"), "都城": ("du", "cheng"),
+    # 觉 jue | jiao
+    "睡觉": ("shui", "jiao"), "午觉": ("wu", "jiao"),
+    # 调 diao | tiao (both listed)
+    "调皮": ("tiao", "pi"), "调整": ("tiao", "zheng"),
+    "调节": ("tiao", "jie"), "调和": ("tiao", "he"),
+    "调味": ("tiao", "wei"), "调侃": ("tiao", "kan"),
+    "调情": ("tiao", "qing"), "调教": ("tiao", "jiao"),
+    "调剂": ("tiao", "ji"), "空调": ("kong", "tiao"),
+    "协调": ("xie", "tiao"), "失调": ("shi", "tiao"),
+    "调养": ("tiao", "yang"), "调解": ("tiao", "jie"),
+    "烹调": ("peng", "tiao"),
+    "调子": ("diao", "zi"), "音调": ("yin", "diao"),
+    "曲调": ("qu", "diao"), "格调": ("ge", "diao"),
+    "声调": ("sheng", "diao"), "语调": ("yu", "diao"),
+    "调动": ("diao", "dong"), "调查": ("diao", "cha"),
+    "单调": ("dan", "diao"), "色调": ("se", "diao"),
+    "论调": ("lun", "diao"), "强调": ("qiang", "diao"),
+    "腔调": ("qiang", "diao"), "情调": ("qing", "diao"),
+    "步调": ("bu", "diao"), "调度": ("diao", "du"),
+    # 传 chuan | zhuan
+    "传记": ("zhuan", "ji"), "自传": ("zi", "zhuan"),
+    "水浒传": ("shui", "hu", "zhuan"),
+    # 朝 chao | zhao
+    "朝霞": ("zhao", "xia"), "朝气": ("zhao", "qi"),
+    "朝夕": ("zhao", "xi"), "今朝": ("jin", "zhao"),
+    "朝露": ("zhao", "lu"),
+    "朝朝暮暮": ("zhao", "zhao", "mu", "mu"),
+    "朝思暮想": ("zhao", "si", "mu", "xiang"),
+    "朝三暮四": ("zhao", "san", "mu", "si"),
+    # 降 jiang | xiang
+    "投降": ("tou", "xiang"), "降服": ("xiang", "fu"),
+    # 弹 dan | tan (both listed)
+    "弹琴": ("tan", "qin"), "弹奏": ("tan", "zou"),
+    "弹唱": ("tan", "chang"), "弹指": ("tan", "zhi"),
+    "反弹": ("fan", "tan"), "弹拨": ("tan", "bo"),
+    "评弹": ("ping", "tan"), "弹性": ("tan", "xing"),
+    "动弹": ("dong", "tan"),
+    "子弹": ("zi", "dan"), "炮弹": ("pao", "dan"),
+    "弹药": ("dan", "yao"), "导弹": ("dao", "dan"),
+    "弹壳": ("dan", "ke"),
+    # one-word heteronyms
+    "便宜": ("pian", "yi"),            # 便 bian | pian
+    "倔强": ("jue", "jiang"),          # 强 qiang | jiang
+    "会计": ("kuai", "ji"),            # 会 hui | kuai
+    "什么": ("shen", "me"),            # 什 shi | shen
+    "似的": ("shi", "de"),             # 似 si | shi
+    "游说": ("you", "shui"),           # 说 shuo | shui
+    "提防": ("di", "fang"),            # 提 ti | di
+    "钥匙": ("yao", "shi"),            # 匙 chi | shi
+    "伎俩": ("ji", "liang"),           # 俩 lia | liang
+    "膀胱": ("pang", "guang"),         # 膀 bang | pang
+    "复辟": ("fu", "bi"),              # 辟 pi | bi
+    "曝光": ("bao", "guang"),          # 曝 pu | bao
+    "纤夫": ("qian", "fu"),            # 纤 xian | qian
+    "呼吁": ("hu", "yu"),              # 吁 xu | yu
+    "殷红": ("yan", "hong"),           # 殷 yin | yan
+    "厦门": ("xia", "men"),            # 厦 sha | xia
+    "柏林": ("bo", "lin"),             # 柏 bai | bo
+    "扁舟": ("pian", "zhou"),          # 扁 bian | pian
+    "咀嚼": ("ju", "jue"),             # 嚼 jiao | jue
+    "龟裂": ("jun", "lie"),            # 龟 gui | jun
+    "畜牧": ("xu", "mu"),              # 畜 chu | xu
+    "牛仔": ("niu", "zai"),            # 仔 zi | zai
+    "扒手": ("pa", "shou"),            # 扒 ba | pa
+    "薄荷": ("bo", "he"),
+    # 薄 bao | bo
+    "薄弱": ("bo", "ruo"), "单薄": ("dan", "bo"), "薄情": ("bo", "qing"),
+    "薄雾": ("bo", "wu"), "淡薄": ("dan", "bo"), "刻薄": ("ke", "bo"),
+    "薄命": ("bo", "ming"), "稀薄": ("xi", "bo"), "轻薄": ("qing", "bo"),
+    "日薄西山": ("ri", "bo", "xi", "shan"),
+    # 没 mei | mo
+    "沉没": ("chen", "mo"), "淹没": ("yan", "mo"), "埋没": ("mai", "mo"),
+    "没落": ("mo", "luo"), "出没": ("chu", "mo"), "没收": ("mo", "shou"),
+    "吞没": ("tun", "mo"), "湮没": ("yan", "mo"), "覆没": ("fu", "mo"),
+    # 和 he | huo
+    "暖和": ("nuan", "huo"), "搅和": ("jiao", "huo"), "掺和": ("chan", "huo"),
+    # 省 sheng | xing
+    "反省": ("fan", "xing"), "省悟": ("xing", "wu"),
+    "省亲": ("xing", "qin"),
+    "不省人事": ("bu", "xing", "ren", "shi"),
+    # 宿 su | xiu
+    "星宿": ("xing", "xiu"), "一宿": ("yi", "xiu"),
+    # 咽 yan | ye
+    "呜咽": ("wu", "ye"), "哽咽": ("geng", "ye"), "幽咽": ("you", "ye"),
+    # 差 cha | chai | ci
+    "出差": ("chu", "chai"), "差事": ("chai", "shi"),
+    "差遣": ("chai", "qian"), "邮差": ("you", "chai"),
+    "差役": ("chai", "yi"), "参差": ("cen", "ci"),
+    # 参 can | shen
+    "人参": ("ren", "shen"), "海参": ("hai", "shen"),
+    # 藏 cang | zang
+    "西藏": ("xi", "zang"), "宝藏": ("bao", "zang"),
+    "藏族": ("zang", "zu"), "藏文": ("zang", "wen"),
+    "青藏": ("qing", "zang"), "藏历": ("zang", "li"),
+    # 吓 xia | he
+    "恐吓": ("kong", "he"), "威吓": ("wei", "he"), "恫吓": ("dong", "he"),
+    # 削 xiao | xue
+    "剥削": ("bo", "xue"), "削弱": ("xue", "ruo"), "削减": ("xue", "jian"),
+    # 恶 e | wu
+    "可恶": ("ke", "wu"), "厌恶": ("yan", "wu"), "憎恶": ("zeng", "wu"),
+    "好恶": ("hao", "wu"),
+    "深恶痛绝": ("shen", "wu", "tong", "jue"),
+    # 给 gei | ji
+    "给予": ("ji", "yu"), "供给": ("gong", "ji"), "给养": ("ji", "yang"),
+    "补给": ("bu", "ji"),
+    "自给自足": ("zi", "ji", "zi", "zu"),
+    # 的 de | di
+    "目的": ("mu", "di"), "的确": ("di", "que"), "的士": ("di", "shi"),
+    "无的放矢": ("wu", "di", "fang", "shi"),
+    "有的放矢": ("you", "di", "fang", "shi"),
+    # 得 de | dei
+    "总得": ("zong", "dei"), "非得": ("fei", "dei"),
+    # 卡 ka | qia
+    "关卡": ("guan", "qia"),
+    # 率 lv | shuai (both listed)
+    "率领": ("shuai", "ling"), "率先": ("shuai", "xian"),
+    "直率": ("zhi", "shuai"), "坦率": ("tan", "shuai"),
+    "率真": ("shuai", "zhen"), "率性": ("shuai", "xing"),
+    "轻率": ("qing", "shuai"), "草率": ("cao", "shuai"),
+    "统率": ("tong", "shuai"),
+    "频率": ("pin", "lv"), "效率": ("xiao", "lv"), "概率": ("gai", "lv"),
+    "比率": ("bi", "lv"), "速率": ("su", "lv"), "利率": ("li", "lv"),
+    "汇率": ("hui", "lv"),
+    # 模 mo | mu
+    "模样": ("mu", "yang"), "模子": ("mu", "zi"),
+    "一模一样": ("yi", "mu", "yi", "yang"),
+    "装模作样": ("zhuang", "mu", "zuo", "yang"),
+    # 泊 bo | po
+    "湖泊": ("hu", "po"), "血泊": ("xue", "po"),
+    # 屏 ping | bing
+    "屏息": ("bing", "xi"), "屏住": ("bing", "zhu"), "屏气": ("bing", "qi"),
+    # 奇 qi | ji
+    "奇数": ("ji", "shu"),
+    # 塞 sai | se
+    "堵塞": ("du", "se"), "闭塞": ("bi", "se"), "阻塞": ("zu", "se"),
+    "茅塞顿开": ("mao", "se", "dun", "kai"),
+    # 壳 ke | qiao
+    "地壳": ("di", "qiao"), "躯壳": ("qu", "qiao"),
+    "金蝉脱壳": ("jin", "chan", "tuo", "qiao"),
+    # 解 jie | xie
+    "浑身解数": ("hun", "shen", "xie", "shu"),
+    # 落 luo | la
+    "丢三落四": ("diu", "san", "la", "si"),
+    # 吭 keng | hang
+    "引吭高歌": ("yin", "hang", "gao", "ge"),
+}
+
+HETERONYM_PHRASES: Dict[str, Tuple[str, ...]] = _P
+
+MAX_PHRASE_LEN = max(len(p) for p in _P)
+
+# sanity: every phrase maps one syllable per character
+assert all(len(p) == len(r) for p, r in _P.items())

@@ -118,30 +118,66 @@ def split_syllable(syllable: str) -> Tuple[str, str]:
 
 
 class CharPhonemizer:
-    """char -> toneless pinyin syllable, built from the pronunciation table
+    """text -> toneless pinyin syllables, built from the pronunciation table
     plus a BERT-style vocab (token string -> id).
 
-    The reference phonemizes with pypinyin directly; with zero egress we
-    derive the same NORMAL-style syllables from the shipped table: a single
-    CJK character tokenises to itself in bert-base-chinese, so
-    ``vocab[char] -> token_pinyin[id]`` reproduces ``lazy_pinyin(char)``.
-    Characters outside the vocab (or mapping to 'bad') pass through unchanged,
-    matching pypinyin's errors='default'.
+    The reference phonemizes with pypinyin's ``lazy_pinyin`` over whole
+    strings (`utils/CER.py:79-95`), which disambiguates polyphonic characters
+    (多音字) through its phrase dictionary. With zero egress we reproduce
+    that in two tiers:
+
+    1. **Phrase tier** — greedy longest-match left-to-right against the
+       embedded heteronym phrase dictionary (``text.heteronyms``), the same
+       max-match strategy pypinyin's default segmenter applies to its
+       phrases dict. This resolves 银行 -> ``yin hang``, 音乐 ->
+       ``yin yue``, 重庆 -> ``chong qing`` etc.
+    2. **Character tier** — ``vocab[char] -> token_pinyin[id]``: a single
+       CJK character tokenises to itself in bert-base-chinese, so the
+       shipped table reproduces ``lazy_pinyin(char)`` by construction.
+
+    Characters outside both tiers (or mapping to 'bad') pass through
+    unchanged, matching pypinyin's errors='default'. Residual gap: a
+    heteronym inside a phrase absent from ``text.heteronyms`` falls back to
+    its single table reading (README "Parity notes").
     """
 
-    def __init__(self, table: PronunciationTable, char_to_token: Dict[str, int]):
+    def __init__(self, table: PronunciationTable, char_to_token: Dict[str, int],
+                 phrase_readings: Dict[str, Tuple[str, ...]] = None):
+        from lyricalignment_tpu.text.heteronyms import HETERONYM_PHRASES
+
         self._table = table
         self._vocab = char_to_token
+        phrases = (HETERONYM_PHRASES if phrase_readings is None
+                   else phrase_readings)
+        # index by first char, longest phrase first (greedy max-match)
+        self._by_first: Dict[str, List[Tuple[str, Tuple[str, ...]]]] = {}
+        for p, readings in phrases.items():
+            self._by_first.setdefault(p[0], []).append((p, tuple(readings)))
+        for cands in self._by_first.values():
+            cands.sort(key=lambda pr: len(pr[0]), reverse=True)
+
+    def _char_reading(self, ch: str) -> str:
+        tid = self._vocab.get(ch)
+        if tid is None:
+            return ch
+        py = self._table.token_pinyin[tid]
+        return ch if py == "bad" else py
 
     def __call__(self, text: str) -> List[str]:
-        out = []
-        for ch in text:
-            tid = self._vocab.get(ch)
-            if tid is None:
-                out.append(ch)
-                continue
-            py = self._table.token_pinyin[tid]
-            out.append(ch if py == "bad" else py)
+        out: List[str] = []
+        i = 0
+        n = len(text)
+        while i < n:
+            matched = False
+            for phrase, readings in self._by_first.get(text[i], ()):
+                if text.startswith(phrase, i):
+                    out.extend(readings)
+                    i += len(phrase)
+                    matched = True
+                    break
+            if not matched:
+                out.append(self._char_reading(text[i]))
+                i += 1
         return out
 
     def phonemes(self, text: str) -> List[str]:
