@@ -126,10 +126,16 @@ class LyricAligner:
         patience: Optional[float] = None,
         condition_on_previous_text: bool = True,
         temperature_fallback: bool = False,
+        batch_size: Optional[int] = None,
     ) -> List[str]:
         """Transcribe a batch of songs: single-window audio shares fixed-
         size batched beam-search launches (``cli.inference_transcript
-        .transcribe_records``); results come back in input order."""
+        .transcribe_records``); results come back in input order.
+
+        ``batch_size`` caps the device decode batch; default is the
+        aligner's serving ``batch_size`` capped at 8 — the measured beam-5
+        throughput knee on one v5e chip (PARITY.md decode sweep; also the
+        transcript CLI default)."""
         from lyricalignment_tpu.cli.inference_transcript import transcribe_records
         from lyricalignment_tpu.data.records import Record
         from lyricalignment_tpu.text.whisper_tokenizer import WhisperTokenizer
@@ -138,8 +144,10 @@ class LyricAligner:
 
         wt = WhisperTokenizer(multilingual=True, language=language,
                               task="transcribe", bpe_path=whisper_bpe)
+        if batch_size is None:
+            batch_size = min(self.batch_size, 8)
         args = SimpleNamespace(
-            is_mixture=0, batch_size=4, beam_size=beam_size,
+            is_mixture=0, batch_size=max(1, batch_size), beam_size=beam_size,
             max_new_tokens=max_new_tokens, use_groundtruth=False,
             temperature_fallback=temperature_fallback,
             fast_windows=fast_windows, length_penalty=length_penalty,

@@ -64,6 +64,11 @@ def parse_args(argv=None):
     p.add_argument("--batch-window-ms", type=float, default=0.0,
                    help="after the first request of a batch, wait up to "
                         "this long for more (0 = only drain the backlog)")
+    p.add_argument("--transcribe-batch", type=int, default=None,
+                   help="device decode batch for fused transcription "
+                        "requests (default: min(--max-batch, 8); 8 = the "
+                        "measured beam-5 throughput knee on one v5e chip — "
+                        "PARITY.md decode sweep)")
     add_asset_args(p)
     args = p.parse_args(argv)
     # Fail fast on a decode config every transcribe request would reject:
@@ -177,7 +182,8 @@ def serve(aligner, args, stdin=None, stdout=None):
                     whisper_bpe=args.whisper_bpe, beam_size=args.beam_size,
                     max_new_tokens=getattr(args, "max_new_tokens", 224),
                     length_penalty=getattr(args, "length_penalty", None),
-                    patience=getattr(args, "patience", None))
+                    patience=getattr(args, "patience", None),
+                    batch_size=getattr(args, "transcribe_batch", None))
                 for i, text in zip(trans_idx, texts):
                     responses[i] = {"song_path": reqs[i]["song_path"],
                                     "inference": text}
