@@ -112,6 +112,7 @@ def forward_from_audio(
     mel_lengths: Optional[jnp.ndarray] = None,
     align_head_output: str = "logits",
     encode_fn=None,
+    decode_fn=None,
 ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Raw padded audio [B, T_samples] -> (align_logits, transcribe_logits).
 
@@ -123,6 +124,11 @@ def forward_from_audio(
     ``(whisper_params, whisper_cfg, mel, remat=...) -> [B, T', D]``.
     Used for pipeline-parallel encoding (``parallel.pipeline
     .make_pipeline_encode_fn``); defaults to ``encode_audio``.
+
+    ``decode_fn`` replaces the teacher-forced decoder call — signature
+    ``(whisper_params, whisper_cfg, tokens, audio_features, remat=...)
+    -> logits``. Used for pipeline-parallel decoding (``parallel.pipeline
+    .make_pipeline_logits_fn``); defaults to ``decoder_logits``.
 
     ``trim_to_input_length=False`` reproduces training behavior (pad/trim to
     one 30 s window, keep all 1500 frames, `module/align_model.py:108-115`);
@@ -139,6 +145,8 @@ def forward_from_audio(
     """
     if encode_fn is None:
         encode_fn = encode_audio
+    if decode_fn is None:
+        decode_fn = decoder_logits
     mel = log_mel(audio)  # [B, 80, T_mel] (fused Pallas kernel on TPU)
     if frame_lengths is not None:
         # zero mel beyond each sample's true length: the reference computes
@@ -196,7 +204,7 @@ def forward_from_audio(
 
     transcribe_logits = None
     if cfg.train_transcript and y_in is not None:
-        transcribe_logits = decoder_logits(
+        transcribe_logits = decode_fn(
             params["whisper"], cfg.whisper, y_in, embed_for_decoder, remat=remat
         )
     return align_logits, transcribe_logits

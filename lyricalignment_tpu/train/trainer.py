@@ -87,12 +87,14 @@ def multitask_losses(
     dropout_rng: Optional[jax.Array],
     allow_transcript: bool = True,
     encode_fn=None,
+    decode_fn=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Loss composition of the reference's ``train_step`` body
     (`train_multitask.py:250-325`) on one fixed-shape batch.
 
-    ``encode_fn`` optionally replaces the encoder (pipeline parallelism:
-    ``parallel.pipeline.make_pipeline_encode_fn``)."""
+    ``encode_fn`` / ``decode_fn`` optionally replace the encoder and the
+    teacher-forced decoder (pipeline parallelism: ``parallel.pipeline
+    .make_pipeline_encode_fn`` / ``make_pipeline_logits_fn``)."""
     align_logits, trans_logits = forward_from_audio(
         params, mcfg, batch["audio"],
         y_in=batch["decoder_input"] if (mcfg.train_transcript and allow_transcript) else None,
@@ -100,6 +102,7 @@ def multitask_losses(
         dropout_rng=dropout_rng,
         remat=tcfg.remat,
         encode_fn=encode_fn,
+        decode_fn=decode_fn,
     )
 
     align_mask = batch["has_alignment"]
@@ -146,13 +149,15 @@ def make_train_step(
     tcfg: TrainConfig,
     tx: optax.GradientTransformation,
     encode_fn=None,
+    decode_fn=None,
 ) -> Callable:
     """Build the jitted update. Batch leaves are stacked [accum, B, ...].
 
-    ``encode_fn`` optionally replaces the encoder in every microbatch —
-    pass ``parallel.pipeline.make_pipeline_encode_fn(mesh, ...)`` for a
-    GPipe pipeline-parallel train step (gradients flow through the reverse
-    pipeline schedule automatically)."""
+    ``encode_fn`` / ``decode_fn`` optionally replace the encoder and the
+    teacher-forced decoder in every microbatch — pass ``parallel.pipeline
+    .make_pipeline_encode_fn(mesh, ...)`` / ``make_pipeline_logits_fn(mesh,
+    ...)`` for a GPipe pipeline-parallel train step with both halves staged
+    (gradients flow through the reverse pipeline schedule automatically)."""
 
     def train_step(state: TrainState, stacked: Dict[str, jnp.ndarray], rng: jax.Array):
         def micro(carry, xs):
@@ -160,7 +165,8 @@ def make_train_step(
             micro_batch, key = xs
             (loss, losses), grads = jax.value_and_grad(
                 lambda p: multitask_losses(p, mcfg, tcfg, micro_batch, key,
-                                           encode_fn=encode_fn),
+                                           encode_fn=encode_fn,
+                                           decode_fn=decode_fn),
                 has_aux=True,
             )(state.params)
             grad_acc = jax.tree_util.tree_map(
@@ -190,10 +196,11 @@ def make_train_step(
 
 
 def make_eval_step(mcfg: AlignModelConfig, tcfg: TrainConfig,
-                   encode_fn=None) -> Callable:
+                   encode_fn=None, decode_fn=None) -> Callable:
     def eval_step(params: Dict, batch: Dict[str, jnp.ndarray]):
         _, losses = multitask_losses(params, mcfg, tcfg, batch,
-                                     dropout_rng=None, encode_fn=encode_fn)
+                                     dropout_rng=None, encode_fn=encode_fn,
+                                     decode_fn=decode_fn)
         return losses
 
     return jax.jit(eval_step)

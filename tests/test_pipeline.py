@@ -88,24 +88,85 @@ def test_pipeline_prestacked_params(setup):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("n_micro", [1, 2])
+def test_decoder_pipeline_matches_decoder_logits(n_micro):
+    """pipeline_decoder_logits == decoder_logits (teacher-forced) on a
+    DP x PP mesh, forward numerics."""
+    from lyricalignment_tpu.models.whisper import decoder_logits
+    from lyricalignment_tpu.parallel.pipeline import pipeline_decoder_logits
+
+    cfg = WhisperConfig(
+        n_mels=8, n_vocab=32, n_audio_ctx=16, n_audio_state=16,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=8,
+        n_text_state=16, n_text_head=2, n_text_layer=4)
+    params = init_whisper_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(0, 32, (4, 6)).astype(np.int32))
+    xa = jnp.asarray(rng.standard_normal((4, 16, 16)).astype(np.float32))
+    mesh = make_mesh(data=2, model=4)
+    ref = decoder_logits(params, cfg, tokens, xa)
+    got = pipeline_decoder_logits(params, cfg, tokens, xa, mesh,
+                                  n_micro=n_micro)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_decoder_pipeline_gradients_match(remat):
+    """Reverse GPipe schedule through the decoder: grads wrt params AND
+    the cross-attention memory match the single-device decoder."""
+    from lyricalignment_tpu.models.whisper import decoder_logits
+    from lyricalignment_tpu.parallel.pipeline import pipeline_decoder_logits
+
+    cfg = WhisperConfig(
+        n_mels=8, n_vocab=32, n_audio_ctx=16, n_audio_state=16,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=8,
+        n_text_state=16, n_text_head=2, n_text_layer=4)
+    params = init_whisper_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(10)
+    tokens = jnp.asarray(rng.integers(0, 32, (4, 6)).astype(np.int32))
+    xa = jnp.asarray(rng.standard_normal((4, 16, 16)).astype(np.float32))
+    mesh = make_mesh(data=2, model=4)
+
+    def loss_ref(p, a):
+        return jnp.mean(decoder_logits(p, cfg, tokens, a) ** 2)
+
+    def loss_pipe(p, a):
+        out = pipeline_decoder_logits(p, cfg, tokens, a, mesh, n_micro=2,
+                                      remat=remat)
+        return jnp.mean(out ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, xa)
+    g_pipe = jax.grad(loss_pipe, argnums=(0, 1))(params, xa)
+    flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_pipe, _ = jax.tree_util.tree_flatten(g_pipe)
+    assert len(flat_ref) == len(flat_pipe)
+    for a, b in zip(flat_ref, flat_pipe):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_pipelined_train_step_matches_standard(setup):
-    """make_train_step(encode_fn=pipeline) == the plain train step:
-    identical losses and updated params (GPipe backward included)."""
+    """make_train_step with BOTH halves staged (encode_fn + decode_fn
+    pipelines) == the plain train step: identical losses and updated
+    params (GPipe backward through encoder and decoder included)."""
     import dataclasses
 
     from lyricalignment_tpu.models.align_model import (
         AlignModelConfig, init_align_model)
-    from lyricalignment_tpu.parallel.pipeline import make_pipeline_encode_fn
+    from lyricalignment_tpu.parallel.pipeline import (
+        make_pipeline_encode_fn, make_pipeline_logits_fn)
     from lyricalignment_tpu.train.trainer import (
         TrainConfig, init_train_state, make_train_step)
 
     vocab = 12
     # full-frame config: the training path pads mel to 3000 frames, so the
-    # encoder context must be the real 1500 (dims stay tiny otherwise)
+    # encoder context must be the real 1500 (dims stay tiny otherwise);
+    # 4 decoder layers so the decoder pipeline has one layer per stage
     wcfg = WhisperConfig(
         n_mels=80, n_vocab=32, n_audio_ctx=1500, n_audio_state=16,
         n_audio_head=2, n_audio_layer=4, n_text_ctx=8, n_text_state=16,
-        n_text_head=2, n_text_layer=1)
+        n_text_head=2, n_text_layer=4)
     mcfg = AlignModelConfig(
         whisper=wcfg, hidden_dim=8, output_dim=vocab + 1,
         train_alignment=True, train_transcript=True, dropout=0.0)
@@ -140,7 +201,8 @@ def test_pipelined_train_step_matches_standard(setup):
 
     state_b, tx_b = init_train_state(params_b, tcfg)
     step_b = make_train_step(mcfg, tcfg, tx_b,
-                             encode_fn=make_pipeline_encode_fn(mesh, n_micro=2))
+                             encode_fn=make_pipeline_encode_fn(mesh, n_micro=2),
+                             decode_fn=make_pipeline_logits_fn(mesh, n_micro=2))
     state_b, losses_b = step_b(state_b, stacked, key)
 
     for k in losses_a:
