@@ -29,8 +29,10 @@ medium-alignment knee), BENCH_ITERS (default 8), BENCH_SECONDS (clip
 length, default 30), BENCH_LONGFORM_SECONDS (default 90), BENCH_SUB=0
 (skip sub metrics in full mode), BENCH_TRAIN_REMAT=1 (rematerialised train
 step for large configs), BENCH_TIME_BUDGET (full-mode wall budget in
-seconds, default 1500 — emit whatever is measured before it expires),
-BENCH_PROBE_ATTEMPTS (backend probes before giving up, default 3),
+seconds, default 1800 — emit whatever is measured before it expires;
+a cold run measures ~26 min end to end: ~6 min tunnel warm-up/probe +
+~20 min for the headline and all four subs incl. remote compiles),
+BENCH_PROBE_ATTEMPTS (backend probes before giving up, default 2),
 BENCH_ALLOW_CPU=1 (force a host-CPU run for local smoke tests — without it
 a missing accelerator exits non-zero rather than recording CPU-fallback
 numbers as the round's headline).
@@ -327,7 +329,7 @@ def _emit(metric, value, sub=None):
     print(json.dumps(line))
 
 
-def _wait_for_backend(attempts=None, probe_timeout=150, sleeps=(20, 40)):
+def _wait_for_backend(attempts=None, probe_timeout=300, sleeps=(30,)):
     """Gate on a REAL accelerator before any in-process device use.
 
     The axon tunnel intermittently refuses/hangs backend setup
@@ -338,10 +340,15 @@ def _wait_for_backend(attempts=None, probe_timeout=150, sleeps=(20, 40)):
     not CPU: when the tunnel is down jax silently falls back to host CPU,
     and recording CPU throughput as the round's headline would be far
     worse than failing. Set BENCH_ALLOW_CPU=1 for local smoke runs; tune
-    patience with BENCH_PROBE_ATTEMPTS (default 3 — worst case ~8.5 min,
-    down from round 3's ~30 min which consumed the whole capture window).
-    If every probe fails, exit non-zero WITHOUT printing a metric line
-    (a missing bench is diagnosable; a fake number is not)."""
+    patience with BENCH_PROBE_ATTEMPTS (default 2 x 300 s — worst case
+    ~10.5 min, down from round 3's ~30 min which consumed the whole
+    capture window). The probe doubles as the tunnel warm-up, so ONE long
+    probe beats several short ones: killing a probe at 150 s discards the
+    in-flight tunnel init and restarts it (measured: a cold tunnel takes
+    ~150-350 s to first contact; the r4 capture burned two 150 s probes
+    before the third finally landed). If every probe fails, exit non-zero
+    WITHOUT printing a metric line (a missing bench is diagnosable; a
+    fake number is not)."""
     allow_cpu = os.environ.get("BENCH_ALLOW_CPU") == "1"
     if allow_cpu:
         # BENCH_ALLOW_CPU=1 means "run this smoke on the host CPU, full
@@ -355,7 +362,7 @@ def _wait_for_backend(attempts=None, probe_timeout=150, sleeps=(20, 40)):
     if os.environ.get("_BENCH_CHILD") == "1":
         return  # parent orchestrator already probed; don't pay it again
     if attempts is None:
-        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "2"))
     probe = ("import jax, numpy as np, jax.numpy as jnp;"
              "assert jax.devices()[0].platform != 'cpu', 'cpu fallback';"
              "x = jnp.ones((8, 8));"
@@ -460,7 +467,7 @@ def _run_child_bench(mode, deadline, cap=420, env_extra=None):
 
 def _full_main(model_name):
     """Headline + sub surface, each in its own serial subprocess."""
-    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1500"))
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1800"))
     deadline = time.monotonic() + budget
     for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
         signal.signal(sig, _on_deadline_signal)
@@ -485,11 +492,14 @@ def _full_main(model_name):
         raise SystemExit(4)
 
     if os.environ.get("BENCH_SUB", "1") != "0":
+        # cheapest-first (measured r4 capture: align_large ~3 min,
+        # transcribe ~3, longform ~4, train ~6 incl remote compiles) so a
+        # deadline truncation drops the fewest sub metrics
         sub_plan = [
-            (f"transcribe_{model_name}_beam5", "transcribe", {}),
-            (f"train_{model_name}", "train", {}),
             ("align_large", "align", {"BENCH_MODEL": "large"}),
+            (f"transcribe_{model_name}_beam5", "transcribe", {}),
             (f"longform_{model_name}_beam5", "longform", {}),
+            (f"train_{model_name}", "train", {}),
         ]
         _RESULT["sub"] = {k: None for k, _, _ in sub_plan}
         for key, mode, extra in sub_plan:
