@@ -176,4 +176,12 @@ def load_model_dir(
 
         params = dict(params)
         params["whisper"] = bf16_resident_params(params["whisper"])
+    if int8_encoder and isinstance(params, dict) and "whisper" in params:
+        # after bf16 residency: the quantization grid then matches what the
+        # dynamic per-call path would see, so numerics are identical while
+        # each forward streams int8 weight bytes
+        from lyricalignment_tpu.models.whisper import int8_resident_params
+
+        params = dict(params)
+        params["whisper"] = int8_resident_params(params["whisper"])
     return mcfg, params, train_args

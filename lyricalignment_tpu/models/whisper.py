@@ -233,6 +233,41 @@ def bf16_resident_params(whisper_params: Params) -> Params:
     return jax.tree_util.tree_map_with_path(cast, whisper_params)
 
 
+def int8_resident_params(whisper_params: Params) -> Params:
+    """Pre-quantize ENCODER block matmul weights to int8 residency.
+
+    Every linear dict (a ``"w"`` matrix + optional ``"b"``) inside
+    ``encoder.blocks`` is replaced by ``{"wq": int8, "ws": f32, "b"}`` —
+    the exact (q, scale) pair ``_linear_int8`` would derive per call, so
+    numerics are identical to the dynamic path while each forward streams
+    int8 bytes instead of re-reading and re-rounding the full-precision
+    weights (ADVICE r03: params are traced, XLA cannot fold the per-call
+    quantization). Apply AFTER ``bf16_resident_params`` so the quantization
+    grid matches the dynamic path's bf16-resident input. Only meaningful
+    with ``WhisperConfig.int8_encoder=True`` — the stem, layer norms, and
+    the decoder are untouched."""
+
+    def quant_linears(node):
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 2:
+                from jax import numpy as _jnp  # noqa: F401 (device op below)
+                wq, ws = _quantize_int8(node["w"], axis=0)
+                out = {"wq": wq, "ws": ws}
+                if "b" in node:
+                    out["b"] = node["b"]
+                return out
+            return {k: quant_linears(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(quant_linears(v) for v in node)
+        return node
+
+    out = dict(whisper_params)
+    enc = dict(out["encoder"])
+    enc["blocks"] = quant_linears(enc["blocks"])
+    out["encoder"] = enc
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Apply
 # ---------------------------------------------------------------------------
@@ -268,9 +303,17 @@ def _quantize_int8(x: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]
 def _linear_int8(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """W8A8 dynamic-quantized linear: per-token activation scales x
     per-output-channel weight scales, int8xint8->int32 contraction on the
-    MXU, f32 rescale + bias. Inference only (zero gradient through round)."""
+    MXU, f32 rescale + bias. Inference only (zero gradient through round).
+
+    Pre-quantized weights (``int8_resident_params``: keys "wq"/"ws") are
+    used directly — quantizing the static weight per call would re-stream
+    the full-precision tensor every forward, defeating the residency
+    (params are traced arguments, so XLA cannot constant-fold it)."""
     xq, xs = _quantize_int8(x, axis=-1)                 # [..., in], [..., 1]
-    wq, ws = _quantize_int8(p["w"], axis=0)             # [in, out], [1, out]
+    if "wq" in p:
+        wq, ws = p["wq"], p["ws"]                       # int8-resident
+    else:
+        wq, ws = _quantize_int8(p["w"], axis=0)         # [in, out], [1, out]
     y = jax.lax.dot_general(
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -698,6 +741,11 @@ def decode_step(
     pe = dec["positional_embedding"].astype(dtype)
     pos = jnp.repeat(length, g) + step    # [R] true positions
     x = dec["token_embedding"].astype(dtype)[tokens]
+    # INVARIANT: callers keep length + step < n_text_ctx (_check_context in
+    # decode/beam.py and decode/longform.py). The clip below only guards the
+    # traced gather against OOB — a caller violating the invariant would get
+    # the LAST positional row silently repeated, not an error, so any new
+    # decode loop must enforce the context bound itself.
     x = x + jnp.take(pe, jnp.clip(pos, 0, pe.shape[0] - 1), axis=0)[:, None]
 
     # validity masks: prompt slots < length (per sample), gen slots <= step

@@ -97,12 +97,37 @@ def _replicated_like(tree) -> Any:
     return jax.tree_util.tree_map(lambda _: P(), tree)
 
 
+def _adapt_specs_to_params(p_node, s_node):
+    """Align the spec tree to the ACTUAL param structure.
+
+    int8-resident linears (``models.whisper.int8_resident_params``) replace
+    ``{"w", ...}`` with ``{"wq", "ws", ...}``: wq inherits w's spec (the
+    quantized matrix shards exactly like the full-precision one — scales
+    are global per output channel, so sharded partial contractions rescale
+    then psum correctly) and ws [1, out] shards only its output dim."""
+    if isinstance(s_node, dict):
+        if "w" in s_node and isinstance(p_node, dict) and "wq" in p_node:
+            w_spec = s_node["w"]
+            out = {"wq": w_spec,
+                   "ws": P(None, w_spec[1] if len(w_spec) > 1 else None)}
+            if "b" in p_node and "b" in s_node:
+                out["b"] = s_node["b"]
+            return out
+        return {k: _adapt_specs_to_params(p_node[k], v)
+                for k, v in s_node.items() if k in p_node}
+    if isinstance(s_node, (list, tuple)):
+        return type(s_node)(
+            _adapt_specs_to_params(pv, sv) for pv, sv in zip(p_node, s_node))
+    return s_node
+
+
 def align_param_specs(params: Dict, tp: bool = True) -> Dict:
     """PartitionSpec tree for full AlignModel params (head replicated)."""
     n_enc = len(params["whisper"]["encoder"]["blocks"])
     n_dec = len(params["whisper"]["decoder"]["blocks"])
     return {
-        "whisper": whisper_param_specs(n_enc, n_dec, tp=tp),
+        "whisper": _adapt_specs_to_params(
+            params["whisper"], whisper_param_specs(n_enc, n_dec, tp=tp)),
         "align_head": _replicated_like(params["align_head"]),
     }
 

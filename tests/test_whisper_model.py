@@ -218,6 +218,45 @@ def test_int8_encoder_close_to_f32(tiny_cfg, params, rng):
     np.testing.assert_array_equal(base, flag)
 
 
+def test_int8_resident_params_match_dynamic_path(tiny_cfg, params, rng):
+    """int8_resident_params pre-computes exactly the (q, scale) pair the
+    dynamic path derives per call: encoder outputs must be identical, and
+    the resident tree must hold int8 weights (no 'w' left in blocks)."""
+    import dataclasses
+
+    from lyricalignment_tpu.models.whisper import int8_resident_params
+
+    cfg8 = dataclasses.replace(tiny_cfg, int8_encoder=True)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 100)).astype(np.float32))
+    dyn = np.asarray(encode_audio(params, cfg8, mel))
+    resident = int8_resident_params(params)
+    res = np.asarray(encode_audio(resident, cfg8, mel))
+    np.testing.assert_array_equal(dyn, res)
+    # weight residency really happened
+    blk = resident["encoder"]["blocks"][0]
+    assert "w" not in blk["attn"]["q"] and blk["attn"]["q"]["wq"].dtype == jnp.int8
+    assert "w" not in blk["mlp_fc1"] and blk["mlp_fc1"]["wq"].dtype == jnp.int8
+    # stem / decoder untouched
+    assert "w" in resident["decoder"]["blocks"][0]["attn"]["q"]
+
+
+def test_int8_resident_params_shard_over_tp_mesh(tiny_cfg, params):
+    """TP placement must adapt its spec tree to the int8-resident structure
+    (wq inherits w's spec; ws shards only the output dim)."""
+    from lyricalignment_tpu.models.whisper import int8_resident_params
+    from lyricalignment_tpu.parallel.mesh import make_mesh, shard_align_params
+
+    full = {"whisper": int8_resident_params(params), "align_head": {}}
+    mesh = make_mesh(data=4, model=2)
+    placed = shard_align_params(full, mesh, tp=True)
+    blk = placed["whisper"]["encoder"]["blocks"][0]
+    assert blk["attn"]["q"]["wq"].dtype == jnp.int8
+    # column-parallel projection: both wq and its scales shard the out dim
+    q_shard = blk["attn"]["q"]["wq"].sharding.spec
+    assert tuple(q_shard) == (None, "model")
+    assert tuple(blk["attn"]["q"]["ws"].sharding.spec) == (None, "model")
+
+
 def test_per_sample_lengths_match_single_runs(tiny_cfg, params, rng):
     """Per-sample prompt lengths (i32[B] ``length`` in the split cache —
     batched long-form decoding, where each lockstep row carries its own
