@@ -137,6 +137,114 @@ def _render(tokenizer, toks: Sequence[int]) -> str:
     return " ".join(map(str, text_toks))
 
 
+# ---------------------------------------------------------------------------
+# Per-window bookkeeping shared by the single-song and lockstep-batched
+# loops (ADVICE r03: the two copies must stay semantically identical, so the
+# gate evaluation, prompt construction, and seek/segment updates live here
+# once and both loops call them).
+# ---------------------------------------------------------------------------
+
+
+def _context_budget(cfg, sot_seq, condition_on_previous_text,
+                    max_new_tokens) -> Tuple[int, int, int]:
+    """(max_prev, p_max, max_new_tokens): static prompt buffer size and the
+    clamped generation budget — prompt + generation never indexes past the
+    positional-embedding table."""
+    max_prev = max(cfg.n_text_ctx // 2 - 1, 0)
+    p_max = (1 + max_prev + len(sot_seq) if condition_on_previous_text
+             else len(sot_seq))
+    ctx_cap = min(cfg.n_text_ctx // 2, cfg.n_text_ctx - p_max)
+    max_new_tokens = (ctx_cap if max_new_tokens is None
+                      else min(max_new_tokens, ctx_cap))
+    if max_new_tokens < 1:
+        raise ValueError(
+            f"decoder context {cfg.n_text_ctx} too small for conditioned "
+            f"prompts ({p_max} slots)")
+    return max_prev, p_max, max_new_tokens
+
+
+def _new_song_state(ri: int, mel, frames: int) -> Dict:
+    return {"ri": ri, "mel": mel, "frames": frames, "seek": 0,
+            "tokens": [], "reset_since": 0, "segments": []}
+
+
+def _conditioned_prompt(tokenizer, sot_seq, st: Dict,
+                        condition_on_previous_text: bool,
+                        max_prev: int) -> List[int]:
+    """<|startofprev|> + tail of the un-reset history + sot sequence."""
+    prev = st["tokens"][st["reset_since"]:]
+    if condition_on_previous_text and prev:
+        return [tokenizer.sot_prev] + prev[-max_prev:] + sot_seq
+    return list(sot_seq)
+
+
+def _candidate(tokenizer, tok_row, score: float, temperature: float,
+               eot: int) -> Dict:
+    """One decoded window as a quality-gateable candidate."""
+    toks = [int(t) for t in tok_row if int(t) != eot]
+    return {
+        "tokens": toks,
+        "avg_logprob": score,
+        "compression_ratio": compression_ratio(_render(tokenizer, toks)),
+        "temperature": temperature,
+    }
+
+
+def _settles(result: Dict, ns_prob: Optional[float],
+             compression_ratio_threshold: float, logprob_threshold: float,
+             no_speech_threshold: float) -> bool:
+    """whisper's temperature-fallback stop rule: accept when both quality
+    gates pass, or when the window is confidently silent (the no-speech
+    gate will skip it — no retry)."""
+    if (result["compression_ratio"] <= compression_ratio_threshold
+            and result["avg_logprob"] >= logprob_threshold):
+        return True
+    return ns_prob is not None and ns_prob > no_speech_threshold
+
+
+def _apply_window_result(st: Dict, result: Dict, ns_prob: Optional[float],
+                         segment_size: int, tokenizer, ts_begin: int,
+                         eot: int, logprob_threshold: float,
+                         no_speech_threshold: float,
+                         condition_on_previous_text: bool,
+                         verbose: bool, tag: str = "") -> None:
+    """whisper's post-decode bookkeeping for one window: no-speech skip,
+    timestamp parsing, segment annotation, history/prompt-reset update,
+    seek advance. Mutates ``st``."""
+    should_skip = ns_prob is not None and ns_prob > no_speech_threshold
+    if result["avg_logprob"] > logprob_threshold:
+        should_skip = False  # confident decode overrides the silence gate
+    if should_skip:
+        st["seek"] += segment_size
+        return
+    segs, advance = parse_segments(
+        result["tokens"], st["seek"], segment_size, ts_begin=ts_begin)
+    if advance <= 0:
+        advance = segment_size
+    for s in segs:
+        s["text"] = _render(tokenizer, s["tokens"])
+        s["temperature"] = result["temperature"]
+        s["avg_logprob"] = result["avg_logprob"]
+        s["no_speech_prob"] = ns_prob
+        s["compression_ratio"] = result["compression_ratio"]
+    st["segments"].extend(segs)
+    st["tokens"].extend(t for s in segs for t in s["tokens"] if t < eot)
+    if not condition_on_previous_text or result["temperature"] > 0.5:
+        st["reset_since"] = len(st["tokens"])
+    if verbose:
+        for s in segs:
+            print(f"{tag}[{s['start']:7.2f} -> {s['end']:7.2f}] {s['text']}")
+    st["seek"] += advance
+
+
+def _final_result(st: Dict, tokenizer) -> Dict:
+    return {
+        "text": "".join(s["text"] for s in st["segments"]),
+        "segments": st["segments"],
+        "language": tokenizer.language,
+    }
+
+
 def transcribe_longform(
     params: Dict,
     cfg: WhisperConfig,
@@ -167,38 +275,22 @@ def transcribe_longform(
     no_speech = tokenizer.no_speech
     sot_seq = list(tokenizer.sot_sequence)  # timestamp mode: no <|notimestamps|>
 
-    # static prompt buffer: <|startofprev|> + up to n_ctx//2-1 prev + sot_seq
-    max_prev = max(cfg.n_text_ctx // 2 - 1, 0)
-    p_max = 1 + max_prev + len(sot_seq) if condition_on_previous_text else len(sot_seq)
-    ctx_cap = min(cfg.n_text_ctx // 2, cfg.n_text_ctx - p_max)
-    # an explicit max_new_tokens is clamped too: prompt + generation must
-    # never index past the positional-embedding table
-    max_new_tokens = ctx_cap if max_new_tokens is None else min(max_new_tokens, ctx_cap)
-    if max_new_tokens < 1:
-        raise ValueError(
-            f"decoder context {cfg.n_text_ctx} too small for conditioned "
-            f"prompts ({p_max} slots)")
+    max_prev, p_max, max_new_tokens = _context_budget(
+        cfg, sot_seq, condition_on_previous_text, max_new_tokens)
 
     # bucket the padded audio to whole 30 s windows: one mel compile shape
     # per bucket instead of per audio length; mel stays on device
     mel, content_frames = _prep_mel(audio)  # device f32[80, T']
+    st = _new_song_state(0, mel, content_frames)
 
-    seek = 0
-    all_tokens: List[int] = []
-    prompt_reset_since = 0
-    segments: List[Dict] = []
-
-    while seek < content_frames:
-        segment_size = min(N_FRAMES, content_frames - seek)
+    while st["seek"] < content_frames:
+        segment_size = min(N_FRAMES, content_frames - st["seek"])
         # whole-window padding guarantees the slice never runs short
-        window = _gather_window(mel, jnp.asarray(seek, jnp.int32))
+        window = _gather_window(mel, jnp.asarray(st["seek"], jnp.int32))
         xa = _encode(params, cfg, window[None])
 
-        prev = all_tokens[prompt_reset_since:]
-        if condition_on_previous_text and prev:
-            ptoks = [tokenizer.sot_prev] + prev[-max_prev:] + sot_seq
-        else:
-            ptoks = list(sot_seq)
+        ptoks = _conditioned_prompt(tokenizer, sot_seq, st,
+                                    condition_on_previous_text, max_prev)
         buf = np.full((1, p_max), eot, np.int32)
         buf[0, : len(ptoks)] = ptoks
         prompt = jnp.asarray(buf)
@@ -227,7 +319,8 @@ def transcribe_longform(
                 n_gen = max(int((tok_np[0] != eot).sum()) + 1, 1)
                 score = float(sum_lp_np[0]) / n_gen
             else:
-                rng = jax.random.PRNGKey(seed + int(temperature * 10) + seek)
+                rng = jax.random.PRNGKey(
+                    seed + int(temperature * 10) + st["seek"])
                 tokens, sum_lp, ns = _sample_window(
                     params, cfg, xa, prompt, length, sot_index, rng,
                     temperature, max_new_tokens, eot, no_speech,
@@ -238,56 +331,17 @@ def transcribe_longform(
             if ns_prob is None:
                 ns_prob = float(ns_np[0])
 
-            toks = [int(t) for t in tok_np[0] if int(t) != eot]
-            text = _render(tokenizer, toks)
-            cr = compression_ratio(text)
-            result = {
-                "tokens": toks, "avg_logprob": score,
-                "compression_ratio": cr, "temperature": temperature,
-            }
-            if (cr <= compression_ratio_threshold
-                    and score >= logprob_threshold):
-                break
-            # whisper: a confidently-silent window does not retry — the
-            # no-speech gate below will skip it
-            if ns_prob is not None and ns_prob > no_speech_threshold:
+            result = _candidate(tokenizer, tok_np[0], score, temperature, eot)
+            if _settles(result, ns_prob, compression_ratio_threshold,
+                        logprob_threshold, no_speech_threshold):
                 break
 
-        # whisper's no-speech gate: skip silent windows unless the decode
-        # was confident anyway
-        should_skip = ns_prob is not None and ns_prob > no_speech_threshold
-        if result["avg_logprob"] > logprob_threshold:
-            should_skip = False
-        if should_skip:
-            seek += segment_size
-            continue
+        _apply_window_result(
+            st, result, ns_prob, segment_size, tokenizer, ts_begin, eot,
+            logprob_threshold, no_speech_threshold,
+            condition_on_previous_text, verbose)
 
-        segs, advance = parse_segments(
-            result["tokens"], seek, segment_size, ts_begin=ts_begin)
-        if advance <= 0:
-            advance = segment_size
-        for s in segs:
-            s["text"] = _render(tokenizer, s["tokens"])
-            s["temperature"] = result["temperature"]
-            s["avg_logprob"] = result["avg_logprob"]
-            s["no_speech_prob"] = ns_prob
-            s["compression_ratio"] = result["compression_ratio"]
-        segments.extend(segs)
-        all_tokens.extend(t for s in segs for t in s["tokens"] if t < eot)
-
-        if not condition_on_previous_text or result["temperature"] > 0.5:
-            prompt_reset_since = len(all_tokens)
-
-        if verbose:
-            for s in segs:
-                print(f"[{s['start']:7.2f} -> {s['end']:7.2f}] {s['text']}")
-        seek += advance
-
-    return {
-        "text": "".join(s["text"] for s in segments),
-        "segments": segments,
-        "language": tokenizer.language,
-    }
+    return _final_result(st, tokenizer)
 
 
 @jax.jit
@@ -386,14 +440,8 @@ def transcribe_longform_batched(
     no_speech = tokenizer.no_speech
     sot_seq = list(tokenizer.sot_sequence)
 
-    max_prev = max(cfg.n_text_ctx // 2 - 1, 0)
-    p_max = 1 + max_prev + len(sot_seq) if condition_on_previous_text else len(sot_seq)
-    ctx_cap = min(cfg.n_text_ctx // 2, cfg.n_text_ctx - p_max)
-    max_new_tokens = ctx_cap if max_new_tokens is None else min(max_new_tokens, ctx_cap)
-    if max_new_tokens < 1:
-        raise ValueError(
-            f"decoder context {cfg.n_text_ctx} too small for conditioned "
-            f"prompts ({p_max} slots)")
+    max_prev, p_max, max_new_tokens = _context_budget(
+        cfg, sot_seq, condition_on_previous_text, max_new_tokens)
 
     n_songs = len(audios)
     bsz = batch_size if batch_size is not None else min(8, max(n_songs, 1))
@@ -402,8 +450,7 @@ def transcribe_longform_batched(
 
     def _load(idx: int) -> Dict:
         mel, frames = _prep_mel(audios[idx])
-        return {"ri": idx, "mel": mel, "frames": frames, "seek": 0,
-                "tokens": [], "reset_since": 0, "segments": []}
+        return _new_song_state(idx, mel, frames)
 
     # prefetch pool: _prep_mel only DISPATCHES the audio upload + on-device
     # mel (async), so loading the next queued songs a few rounds early
@@ -438,11 +485,8 @@ def transcribe_longform_batched(
             # device-side slice of the device-resident mel: no mel download,
             # no per-round window re-upload over the tunnel
             wins[i] = _gather_window(st["mel"], jnp.asarray(st["seek"], jnp.int32))
-            prev = st["tokens"][st["reset_since"]:]
-            if condition_on_previous_text and prev:
-                ptoks = [tokenizer.sot_prev] + prev[-max_prev:] + sot_seq
-            else:
-                ptoks = list(sot_seq)
+            ptoks = _conditioned_prompt(tokenizer, sot_seq, st,
+                                        condition_on_previous_text, max_prev)
             buf[i, : len(ptoks)] = ptoks
             lengths[i] = len(ptoks)
             sots[i] = len(ptoks) - len(sot_seq)
@@ -488,58 +532,22 @@ def transcribe_longform_batched(
                     continue
                 if row_ns[i] is None:
                     row_ns[i] = float(ns_np[i])
-                toks = [int(t) for t in tok_np[i] if int(t) != eot]
-                text = _render(tokenizer, toks)
-                cr = compression_ratio(text)
-                row_result[i] = {
-                    "tokens": toks, "avg_logprob": float(scores[i]),
-                    "compression_ratio": cr, "temperature": temperature,
-                }
-                if (cr <= compression_ratio_threshold
-                        and float(scores[i]) >= logprob_threshold):
-                    settled[i] = True
-                elif row_ns[i] is not None and row_ns[i] > no_speech_threshold:
-                    settled[i] = True  # confidently silent: no retry
+                row_result[i] = _candidate(tokenizer, tok_np[i],
+                                           float(scores[i]), temperature, eot)
+                settled[i] = _settles(
+                    row_result[i], row_ns[i], compression_ratio_threshold,
+                    logprob_threshold, no_speech_threshold)
 
         for i, st in enumerate(slots):
             if st is None:
                 continue
-            result = row_result[i]
-            ns_prob = row_ns[i]
-            segment_size = seg_sizes[i]
-            should_skip = ns_prob is not None and ns_prob > no_speech_threshold
-            if result["avg_logprob"] > logprob_threshold:
-                should_skip = False
-            if should_skip:
-                st["seek"] += segment_size
-            else:
-                segs, advance = parse_segments(
-                    result["tokens"], st["seek"], segment_size,
-                    ts_begin=ts_begin)
-                if advance <= 0:
-                    advance = segment_size
-                for s in segs:
-                    s["text"] = _render(tokenizer, s["tokens"])
-                    s["temperature"] = result["temperature"]
-                    s["avg_logprob"] = result["avg_logprob"]
-                    s["no_speech_prob"] = ns_prob
-                    s["compression_ratio"] = result["compression_ratio"]
-                st["segments"].extend(segs)
-                st["tokens"].extend(
-                    t for s in segs for t in s["tokens"] if t < eot)
-                if not condition_on_previous_text or result["temperature"] > 0.5:
-                    st["reset_since"] = len(st["tokens"])
-                if verbose:
-                    for s in segs:
-                        print(f"[song {st['ri']}] "
-                              f"[{s['start']:7.2f} -> {s['end']:7.2f}] {s['text']}")
-                st["seek"] += advance
+            _apply_window_result(
+                st, row_result[i], row_ns[i], seg_sizes[i], tokenizer,
+                ts_begin, eot, logprob_threshold, no_speech_threshold,
+                condition_on_previous_text, verbose,
+                tag=f"[song {st['ri']}] ")
             if st["seek"] >= st["frames"]:
-                results[st["ri"]] = {
-                    "text": "".join(s["text"] for s in st["segments"]),
-                    "segments": st["segments"],
-                    "language": tokenizer.language,
-                }
+                results[st["ri"]] = _final_result(st, tokenizer)
                 slots[i] = _take_next() if queue else None
         round_idx += 1
 
