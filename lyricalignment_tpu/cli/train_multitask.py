@@ -81,8 +81,10 @@ def parse_args():
     p.add_argument("--mesh-data", type=int, default=0)
     p.add_argument("--mesh-model", type=int, default=1)
     p.add_argument("--mesh-pipe", type=int, default=1,
-                   help="GPipe pipeline stages for the encoder over the "
-                        "model mesh axis (exclusive with --mesh-model > 1; "
+                   help="GPipe pipeline stages over the model mesh axis — "
+                        "encoder blocks, plus the teacher-forced decoder "
+                        "blocks when training the transcript task "
+                        "(exclusive with --mesh-model > 1; "
                         "encoder layers must divide evenly)")
     p.add_argument("--pipe-microbatches", type=int, default=2,
                    help="pipeline microbatches per data shard")
@@ -173,6 +175,7 @@ def main():
     params = init_params(args, mcfg, args.seed)
     mesh = None
     encode_fn = None
+    decode_fn = None
     if args.mesh_pipe > 1 and args.mesh_model > 1:
         raise SystemExit("--mesh-pipe and --mesh-model both use the model "
                          "mesh axis; pick one")
@@ -182,11 +185,21 @@ def main():
         params = shard_align_params(params, mesh, tp=args.mesh_model > 1)
         print(f"mesh: {dict(mesh.shape)}")
         if args.mesh_pipe > 1:
-            from lyricalignment_tpu.parallel.pipeline import make_pipeline_encode_fn
+            from lyricalignment_tpu.parallel.pipeline import (
+                make_pipeline_encode_fn,
+                make_pipeline_logits_fn,
+            )
 
             encode_fn = make_pipeline_encode_fn(
                 mesh, n_micro=args.pipe_microbatches)
-            print(f"pipeline-parallel encoder: {args.mesh_pipe} stages x "
+            staged = "encoder"
+            if mcfg.train_transcript:
+                # stage the teacher-forced decoder too (whisper models keep
+                # n_text_layer == n_audio_layer, so divisibility matches)
+                decode_fn = make_pipeline_logits_fn(
+                    mesh, n_micro=args.pipe_microbatches)
+                staged = "encoder+decoder"
+            print(f"pipeline-parallel {staged}: {args.mesh_pipe} stages x "
                   f"{args.pipe_microbatches} microbatches")
 
     state, tx = init_train_state(params, tcfg)
@@ -204,8 +217,10 @@ def main():
                            step=jnp.asarray(tree["step"], jnp.int32))
         start_step = int(tree["step"])
         print(f"resumed from {args.resume} at step {start_step}")
-    train_step = make_train_step(mcfg, tcfg, tx, encode_fn=encode_fn)
-    eval_step = make_eval_step(mcfg, tcfg, encode_fn=encode_fn)
+    train_step = make_train_step(mcfg, tcfg, tx, encode_fn=encode_fn,
+                                 decode_fn=decode_fn)
+    eval_step = make_eval_step(mcfg, tcfg, encode_fn=encode_fn,
+                               decode_fn=decode_fn)
 
     def run_eval():
         return evaluate(eval_step, state.params, dev_loader)
