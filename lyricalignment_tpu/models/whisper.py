@@ -51,11 +51,11 @@ class WhisperConfig:
     # (attention matrices dominate HBM traffic); off by default for parity
     fast_softmax: bool = False
     # tanh-approximate GELU instead of whisper's exact erf GELU in the
-    # ENCODER (conv stem + MLPs): saves ~0.7 ms per MLP activation on v5e
-    # (~15% of the encoder); the approximation error (<= 3e-3 absolute) is
-    # below bf16 rounding, but off by default for strict f32 parity with
-    # the reference. The decoder always uses exact GELU (negligible cost
-    # in the weight-bound decode loop).
+    # tanh GELU across the model: encoder conv stem + every MLP (encoder,
+    # teacher-forced decoder, KV-cached prime/step). Saves ~0.7 ms per
+    # encoder MLP activation on v5e (~15% of the encoder); the
+    # approximation error (<= 3e-3 absolute) is below bf16 rounding, but
+    # off by default for strict f32 parity with the reference.
     fast_gelu: bool = False
     # W8A8 dynamic int8 quantization of the ENCODER matmuls (attention
     # q/k/v/out projections + both MLP layers): activations are quantized
@@ -518,9 +518,9 @@ def decoder_logits(
 
     block_fn = _decoder_block
     if remat:
-        block_fn = jax.checkpoint(_decoder_block, static_argnums=(3,))
+        block_fn = jax.checkpoint(_decoder_block, static_argnums=(3, 5))
     for block in dec["blocks"]:
-        x = block_fn(block, x, xa, cfg.n_text_head, mask)
+        x = block_fn(block, x, xa, cfg.n_text_head, mask, cfg.fast_gelu)
 
     x = _layer_norm(dec["ln"], x)
     # final projection in f32 for stable CE loss
@@ -692,7 +692,8 @@ def prime_decode_cache(
         x = x + _grouped_cross_attention(
             block["cross_attn"], h, bc["cross_k"], bc["cross_v"], n_head,
             ck_s=bc.get("cross_k_s"), cv_s=bc.get("cross_v_s"))
-        x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
+        x = x + _mlp(block, _layer_norm(block["mlp_ln"], x),
+                     fast_gelu=cfg.fast_gelu)
         new_blocks.append({**bc, "prompt_k": k, "prompt_v": v})
 
     x = _layer_norm(dec["ln"], x)
@@ -782,7 +783,8 @@ def decode_step(
         x = x + _grouped_cross_attention(
             block["cross_attn"], h, bc["cross_k"], bc["cross_v"], n_head,
             ck_s=bc.get("cross_k_s"), cv_s=bc.get("cross_v_s"))
-        x = x + _mlp(block, _layer_norm(block["mlp_ln"], x))
+        x = x + _mlp(block, _layer_norm(block["mlp_ln"], x),
+                     fast_gelu=cfg.fast_gelu)
         new_blocks.append({**bc, "gen_k": gen_k, "gen_v": gen_v})
 
     x = _layer_norm(dec["ln"], x)

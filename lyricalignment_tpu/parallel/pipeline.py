@@ -205,7 +205,7 @@ def pipeline_decoder_blocks(
 
     block_fn = _decoder_block
     if remat:
-        block_fn = jax.checkpoint(_decoder_block, static_argnums=(3,))
+        block_fn = jax.checkpoint(_decoder_block, static_argnums=(3, 5))
     mask = _causal_mask(x.shape[1], x.dtype)
 
     def fn(stacked_local, x_local, xa_local):
@@ -216,7 +216,8 @@ def pipeline_decoder_blocks(
             xa_cur = xam[micro_idx]
 
             def layer(c, blk):
-                return block_fn(blk, c, xa_cur, cfg.n_text_head, mask), None
+                return block_fn(blk, c, xa_cur, cfg.n_text_head, mask,
+                                cfg.fast_gelu), None
             y, _ = jax.lax.scan(layer, xs, local_blocks)
             return y
 

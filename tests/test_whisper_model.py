@@ -95,8 +95,10 @@ def test_bf16_compute_close_to_f32(tiny_cfg, params, rng):
 
 
 def test_fast_gelu_close_to_exact(rng):
-    """fast_gelu (tanh approximation, encoder only) stays within bf16-level
-    tolerance of the exact-GELU encoder."""
+    """fast_gelu (tanh approximation, applied model-wide: encoder stem/MLPs
+    and every decoder MLP) stays within bf16-level tolerance of the exact-
+    GELU model, and the three decoder paths (teacher-forced, prime, step)
+    stay mutually consistent under the flag."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -105,18 +107,42 @@ def test_fast_gelu_close_to_exact(rng):
         WhisperConfig,
         encode_audio,
         init_whisper_params,
+        prime_decode_cache,
     )
 
     cfg = WhisperConfig(n_mels=80, n_vocab=32, n_audio_ctx=50, n_audio_state=32,
-                        n_audio_head=4, n_audio_layer=2, n_text_ctx=8,
+                        n_audio_head=4, n_audio_layer=2, n_text_ctx=16,
                         n_text_state=32, n_text_head=4, n_text_layer=1)
+    cfg_f = dataclasses.replace(cfg, fast_gelu=True)
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     mel = jnp.asarray(rng.standard_normal((2, 80, 100)).astype(np.float32))
     exact = np.asarray(encode_audio(params, cfg, mel))
-    fast = np.asarray(encode_audio(
-        params, dataclasses.replace(cfg, fast_gelu=True), mel))
+    fast = np.asarray(encode_audio(params, cfg_f, mel))
     assert np.abs(exact - fast).max() < 2e-2
     assert np.sqrt(((exact - fast) ** 2).mean()) < 2e-3
+
+    # decoder: the flag now reaches every MLP (teacher-forced AND the
+    # KV-cached prime/step pair), so (a) fast logits track exact logits
+    # at tanh-approximation error, and (b) the cached path reproduces the
+    # teacher-forced path under the flag — no path may silently keep
+    # exact GELU while the others switch.
+    xa = encode_audio(params, cfg_f, mel)
+    tokens = rng.integers(0, 32, size=(2, 5)).astype(np.int32)
+    tf_exact = np.asarray(decoder_logits(params, cfg, jnp.asarray(tokens), xa))
+    tf_fast = np.asarray(decoder_logits(params, cfg_f, jnp.asarray(tokens), xa))
+    assert np.abs(tf_exact - tf_fast).max() < 5e-2
+    assert 1e-8 < np.abs(tf_exact - tf_fast).max()  # flag actually bites
+
+    cache = init_decode_cache(params, cfg_f, xa, 3, 4)
+    logits, _, cache = prime_decode_cache(
+        params, cfg_f, jnp.asarray(tokens[:, :3]), cache)
+    np.testing.assert_allclose(np.asarray(logits), tf_fast[:, 2],
+                               atol=1e-4, rtol=1e-4)
+    for i in range(3, 5):
+        l, cache = decode_step(
+            params, cfg_f, jnp.asarray(tokens[:, i: i + 1]), cache)
+        np.testing.assert_allclose(np.asarray(l), tf_fast[:, i],
+                                   atol=1e-4, rtol=1e-4)
 
 
 def test_onepass_encoder_matches_standard(tiny_cfg, params, rng):
