@@ -15,6 +15,9 @@ framework's CLIs already read those ``.pt`` files on the fly
     # the --use-pretrained transcription flow
     la-convert import-openai --pt medium.pt --output-dir pretrained
 
+    # HF transformers Whisper save directory -> framework model dir
+    la-convert import-hf --hf-dir whisper-medium --output-dir pretrained
+
     # framework model dir -> reference-named .pt (interop/round-trip)
     la-convert export --model-dir result --model-name best --pt out.pt
 
@@ -48,6 +51,16 @@ def parse_args(argv=None):
     impo.add_argument("--output-dir", required=True)
     impo.add_argument("--use-ctc-loss", action="store_true")
     impo.add_argument("--seed", type=int, default=114514)
+
+    imph = sub.add_parser(
+        "import-hf",
+        help="HF transformers Whisper save dir -> model dir (random head)")
+    imph.add_argument("--hf-dir", required=True,
+                      help="directory from save_pretrained(): config.json + "
+                           "model.safetensors / pytorch_model.bin")
+    imph.add_argument("--output-dir", required=True)
+    imph.add_argument("--use-ctc-loss", action="store_true")
+    imph.add_argument("--seed", type=int, default=114514)
 
     exp = sub.add_parser("export", help="model dir -> reference-named .pt")
     exp.add_argument("--model-dir", required=True)
@@ -90,15 +103,21 @@ def main(argv=None):
         print(f"imported {args.pt} -> {args.output_dir}/{args.model_name}_model")
         return 0
 
-    if args.cmd == "import-openai":
+    if args.cmd in ("import-openai", "import-hf"):
         import jax
 
         from lyricalignment_tpu.cli.common import build_model_config
         from lyricalignment_tpu.models.align_model import init_align_model
-        from lyricalignment_tpu.models.convert import load_openai_checkpoint
+        from lyricalignment_tpu.models.convert import (
+            load_hf_checkpoint, load_openai_checkpoint)
         from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS
 
-        ckpt_cfg, whisper_params = load_openai_checkpoint(args.pt)
+        if args.cmd == "import-hf":
+            src = args.hf_dir
+            ckpt_cfg, whisper_params = load_hf_checkpoint(src)
+        else:
+            src = args.pt
+            ckpt_cfg, whisper_params = load_openai_checkpoint(src)
         name = next((n for n, c in WHISPER_CONFIGS.items()
                      if (c.n_audio_state, c.n_audio_layer) ==
                      (ckpt_cfg.n_audio_state, ckpt_cfg.n_audio_layer)), None)
@@ -111,7 +130,7 @@ def main(argv=None):
         params = init_align_model(jax.random.PRNGKey(args.seed), mcfg)
         params["whisper"] = whisper_params
         _write_model_dir(args.output_dir, name, args.use_ctc_loss, params, "best")
-        print(f"imported OpenAI {name} {args.pt} -> {args.output_dir}/best_model")
+        print(f"imported {name} {src} -> {args.output_dir}/best_model")
         return 0
 
     # export

@@ -1,9 +1,14 @@
-"""Checkpoint converters: OpenAI / reference PyTorch state dicts <-> pytrees.
+"""Checkpoint converters: OpenAI / HF / reference PyTorch state dicts <-> pytrees.
 
 Supports importing
   * OpenAI whisper checkpoints (``{"dims": ..., "model_state_dict": ...}``,
     the format ``whisper.load_model`` consumes — reference
-    `train_multitask.py:647`), and
+    `train_multitask.py:647`),
+  * HuggingFace ``transformers`` Whisper checkpoints
+    (``WhisperForConditionalGeneration`` / ``WhisperModel`` save
+    directories: ``config.json`` + ``model.safetensors`` /
+    ``pytorch_model.bin``, optionally index-sharded) — the other common
+    publication format for whisper fine-tunes, and
   * the reference's AlignModel checkpoints
     (``torch.save(model.state_dict())``, `train_multitask.py:461-465`) whose
     keys are prefixed ``whisper_model.*`` / ``align_rnn.rnn.*`` /
@@ -19,6 +24,7 @@ Layout transforms: torch Linear weights [out, in] -> ours [in, out]
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Mapping, Tuple
 
 import jax.numpy as jnp
@@ -125,6 +131,176 @@ def load_openai_checkpoint(path: str) -> Tuple[WhisperConfig, Params]:
                                   else vars(ckpt["dims"]))
     sd = ckpt["model_state_dict"]
     return cfg, whisper_params_from_state_dict(sd, cfg)
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace transformers Whisper checkpoints
+# ---------------------------------------------------------------------------
+
+def _hf_attn_in(sd: Mapping, prefix: str) -> Params:
+    return {
+        "q": _linear_in(sd, f"{prefix}.q_proj"),
+        "k": _linear_in(sd, f"{prefix}.k_proj", bias=False),
+        "v": _linear_in(sd, f"{prefix}.v_proj"),
+        "out": _linear_in(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _hf_block_in(sd: Mapping, prefix: str, cross: bool) -> Params:
+    block = {
+        "attn_ln": _ln_in(sd, f"{prefix}.self_attn_layer_norm"),
+        "attn": _hf_attn_in(sd, f"{prefix}.self_attn"),
+        "mlp_ln": _ln_in(sd, f"{prefix}.final_layer_norm"),
+        "mlp_fc1": _linear_in(sd, f"{prefix}.fc1"),
+        "mlp_fc2": _linear_in(sd, f"{prefix}.fc2"),
+    }
+    if cross:
+        block["cross_attn_ln"] = _ln_in(sd, f"{prefix}.encoder_attn_layer_norm")
+        block["cross_attn"] = _hf_attn_in(sd, f"{prefix}.encoder_attn")
+    return block
+
+
+def config_from_hf_config(hf: Mapping) -> WhisperConfig:
+    """``WhisperConfig`` from a transformers Whisper ``config.json`` dict."""
+    return WhisperConfig(
+        n_mels=hf["num_mel_bins"],
+        n_vocab=hf["vocab_size"],
+        n_audio_ctx=hf["max_source_positions"],
+        n_audio_state=hf["d_model"],
+        n_audio_head=hf["encoder_attention_heads"],
+        n_audio_layer=hf["encoder_layers"],
+        n_text_ctx=hf["max_target_positions"],
+        n_text_state=hf["d_model"],
+        n_text_head=hf["decoder_attention_heads"],
+        n_text_layer=hf["decoder_layers"],
+    )
+
+
+def whisper_params_from_hf_state_dict(sd: Mapping, cfg: WhisperConfig) -> Params:
+    """Convert a transformers Whisper state dict to this framework's pytree.
+
+    Accepts ``WhisperForConditionalGeneration`` naming (``model.encoder.*``,
+    ``model.decoder.*``, tied ``proj_out``) or bare ``WhisperModel`` naming
+    (``encoder.*`` / ``decoder.*``). The attention math is equivalent — HF
+    scales q by ``head_dim**-0.5`` where OpenAI/this model scale q and k by
+    ``head_dim**-0.25`` each — so weights map verbatim (the HF repo itself
+    converts OpenAI checkpoints by pure renaming).
+
+    Two structural differences are checked loudly rather than dropped
+    silently:
+      * HF stores the encoder's sinusoidal positions as a (non-trainable)
+        ``embed_positions`` table which this model recomputes in-kernel; if
+        a checkpoint's table has drifted from the sinusoids (it would have
+        to be forcibly unfrozen), conversion refuses.
+      * ``proj_out`` must stay weight-tied to ``decoder.embed_tokens``
+        (whisper's unembedding); an untied head cannot be represented.
+    """
+    if any(k.startswith("model.") for k in sd):
+        inner = {k[len("model."):]: v for k, v in sd.items()
+                 if k.startswith("model.")}
+        if "proj_out.weight" in sd:
+            tied = _np(sd["proj_out.weight"])
+            emb = _np(inner["decoder.embed_tokens.weight"])
+            if not np.allclose(tied, emb):
+                raise ValueError(
+                    "HF checkpoint has an untied proj_out head; whisper's "
+                    "unembedding is the (tied) decoder token embedding and "
+                    "an untied head cannot be represented")
+        sd = inner
+
+    if "encoder.embed_positions.weight" in sd:
+        from lyricalignment_tpu.models.whisper import sinusoid_position_embedding
+
+        stored = _np(sd["encoder.embed_positions.weight"])
+        want = np.asarray(sinusoid_position_embedding(*stored.shape))
+        if not np.allclose(stored, want, atol=1e-4):
+            raise ValueError(
+                "HF checkpoint's encoder embed_positions differ from the "
+                "whisper sinusoids (transformers keeps them frozen; this "
+                "table appears trained) — this model recomputes sinusoids "
+                "in-kernel and cannot represent a trained encoder PE")
+
+    enc_blocks = [
+        _hf_block_in(sd, f"encoder.layers.{i}", cross=False)
+        for i in range(cfg.n_audio_layer)
+    ]
+    dec_blocks = [
+        _hf_block_in(sd, f"decoder.layers.{i}", cross=True)
+        for i in range(cfg.n_text_layer)
+    ]
+    return {
+        "encoder": {
+            "conv1": {"w": jnp.asarray(_np(sd["encoder.conv1.weight"])),
+                      "b": jnp.asarray(_np(sd["encoder.conv1.bias"]))},
+            "conv2": {"w": jnp.asarray(_np(sd["encoder.conv2.weight"])),
+                      "b": jnp.asarray(_np(sd["encoder.conv2.bias"]))},
+            "blocks": enc_blocks,
+            "ln_post": _ln_in(sd, "encoder.layer_norm"),
+        },
+        "decoder": {
+            "token_embedding": jnp.asarray(_np(sd["decoder.embed_tokens.weight"])),
+            "positional_embedding": jnp.asarray(
+                _np(sd["decoder.embed_positions.weight"])),
+            "blocks": dec_blocks,
+            "ln": _ln_in(sd, "decoder.layer_norm"),
+        },
+    }
+
+
+def _load_hf_weight_files(path: str) -> Dict[str, Any]:
+    """Merge an HF save directory's weight file(s) into one state dict.
+
+    Handles single-file and index-sharded layouts for both safetensors
+    (preferred when the ``safetensors`` package is importable — it ships
+    with transformers) and ``pytorch_model.bin`` (torch pickles).
+    """
+    import json
+
+    def _safetensors_load(p):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(p, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+
+    def _torch_load(p):
+        import torch
+
+        return torch.load(p, map_location="cpu", weights_only=True)
+
+    candidates = (
+        ("model.safetensors.index.json", _safetensors_load),
+        ("model.safetensors", _safetensors_load),
+        ("pytorch_model.bin.index.json", _torch_load),
+        ("pytorch_model.bin", _torch_load),
+    )
+    for name, loader in candidates:
+        full = os.path.join(path, name)
+        if not os.path.exists(full):
+            continue
+        if name.endswith(".index.json"):
+            with open(full) as f:
+                shards = sorted(set(json.load(f)["weight_map"].values()))
+            sd: Dict[str, Any] = {}
+            for shard in shards:
+                sd.update(loader(os.path.join(path, shard)))
+            return sd
+        return loader(full)
+    raise FileNotFoundError(
+        f"no model.safetensors[.index.json] or pytorch_model.bin"
+        f"[.index.json] under {path}")
+
+
+def load_hf_checkpoint(path: str) -> Tuple[WhisperConfig, Params]:
+    """Load a transformers Whisper save directory (``save_pretrained``)."""
+    import json
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = config_from_hf_config(json.load(f))
+    sd = _load_hf_weight_files(path)
+    return cfg, whisper_params_from_hf_state_dict(sd, cfg)
 
 
 # ---------------------------------------------------------------------------
