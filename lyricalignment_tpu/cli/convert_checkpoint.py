@@ -18,6 +18,10 @@ framework's CLIs already read those ``.pt`` files on the fly
     # HF transformers Whisper save directory -> framework model dir
     la-convert import-hf --hf-dir whisper-medium --output-dir pretrained
 
+    # framework model dir -> HF transformers save directory (the whisper
+    # backbone, loadable by WhisperForConditionalGeneration.from_pretrained)
+    la-convert export-hf --model-dir result --output-dir hf_out
+
     # framework model dir -> reference-named .pt (interop/round-trip)
     la-convert export --model-dir result --model-name best --pt out.pt
 
@@ -67,6 +71,14 @@ def parse_args(argv=None):
     exp.add_argument("--model-name", default="best",
                      choices=["best", "best_align", "best_trans", "last"])
     exp.add_argument("--pt", required=True)
+
+    exph = sub.add_parser(
+        "export-hf",
+        help="model dir (whisper backbone) -> HF transformers save dir")
+    exph.add_argument("--model-dir", required=True)
+    exph.add_argument("--model-name", default="best",
+                      choices=["best", "best_align", "best_trans", "last"])
+    exph.add_argument("--output-dir", required=True)
 
     return p.parse_args(argv)
 
@@ -131,6 +143,16 @@ def main(argv=None):
         params["whisper"] = whisper_params
         _write_model_dir(args.output_dir, name, args.use_ctc_loss, params, "best")
         print(f"imported {name} {src} -> {args.output_dir}/best_model")
+        return 0
+
+    if args.cmd == "export-hf":
+        from lyricalignment_tpu.cli.common import load_model_dir
+        from lyricalignment_tpu.models.convert import save_hf_checkpoint
+
+        mcfg, params, _ = load_model_dir(args.model_dir, args.model_name)
+        save_hf_checkpoint(params["whisper"], mcfg.whisper, args.output_dir)
+        print(f"exported {args.model_dir}/{args.model_name}_model whisper "
+              f"backbone -> {args.output_dir} (HF transformers format)")
         return 0
 
     # export

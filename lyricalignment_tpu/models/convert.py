@@ -14,8 +14,9 @@ Supports importing
     keys are prefixed ``whisper_model.*`` / ``align_rnn.rnn.*`` /
     ``align_rnn.fc.*`` (`inference_alignment.py:120-123`), e.g. the
     published Zenodo checkpoints,
-and exporting back to the reference's naming so checkpoints are
-round-trippable.
+and exporting back to the reference's naming — and to the HF transformers
+layout (``save_hf_checkpoint``) — so checkpoints are round-trippable in
+both ecosystems.
 
 Layout transforms: torch Linear weights [out, in] -> ours [in, out]
 (transposed); conv weights stay [out, in, k]; GRU weight_ih/hh [3H, in] ->
@@ -301,6 +302,138 @@ def load_hf_checkpoint(path: str) -> Tuple[WhisperConfig, Params]:
         cfg = config_from_hf_config(json.load(f))
     sd = _load_hf_weight_files(path)
     return cfg, whisper_params_from_hf_state_dict(sd, cfg)
+
+
+def _hf_linear_out(p: Params, prefix: str, out: Dict[str, np.ndarray]):
+    out[f"{prefix}.weight"] = np.asarray(p["w"], dtype=np.float32).T.copy()
+    if "b" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["b"], dtype=np.float32).copy()
+
+
+def _hf_ln_out(p: Params, prefix: str, out: Dict[str, np.ndarray]):
+    out[f"{prefix}.weight"] = np.asarray(p["scale"], dtype=np.float32).copy()
+    out[f"{prefix}.bias"] = np.asarray(p["bias"], dtype=np.float32).copy()
+
+
+def _hf_attn_out(p: Params, prefix: str, out: Dict[str, np.ndarray]):
+    _hf_linear_out(p["q"], f"{prefix}.q_proj", out)
+    _hf_linear_out(p["k"], f"{prefix}.k_proj", out)
+    _hf_linear_out(p["v"], f"{prefix}.v_proj", out)
+    _hf_linear_out(p["out"], f"{prefix}.out_proj", out)
+
+
+def _hf_block_out(p: Params, prefix: str, out: Dict[str, np.ndarray]):
+    _hf_ln_out(p["attn_ln"], f"{prefix}.self_attn_layer_norm", out)
+    _hf_attn_out(p["attn"], f"{prefix}.self_attn", out)
+    if "cross_attn" in p:
+        _hf_ln_out(p["cross_attn_ln"], f"{prefix}.encoder_attn_layer_norm", out)
+        _hf_attn_out(p["cross_attn"], f"{prefix}.encoder_attn", out)
+    _hf_ln_out(p["mlp_ln"], f"{prefix}.final_layer_norm", out)
+    _hf_linear_out(p["mlp_fc1"], f"{prefix}.fc1", out)
+    _hf_linear_out(p["mlp_fc2"], f"{prefix}.fc2", out)
+
+
+def hf_config_dict(cfg: WhisperConfig) -> Dict[str, Any]:
+    """transformers Whisper ``config.json`` content for this model's dims.
+
+    Token ids follow HF's published whisper configs (pad = bos = eos =
+    ``<|endoftext|>``, decoder_start = ``<|startoftranscript|>``): 50257/
+    50258 for the 51865-token multilingual vocab, 50256/50257 for the
+    51864-token English vocab; non-whisper (test-sized) vocabs clamp to
+    the last id so ``from_pretrained`` never indexes past the embedding.
+    """
+    if cfg.n_vocab >= 51865:
+        eos, dst = 50257, 50258
+    elif cfg.n_vocab == 51864:
+        eos, dst = 50256, 50257
+    else:
+        eos, dst = cfg.n_vocab - 1, cfg.n_vocab - 1
+    return {
+        "pad_token_id": eos,
+        "bos_token_id": eos,
+        "eos_token_id": eos,
+        "decoder_start_token_id": dst,
+        "model_type": "whisper",
+        "architectures": ["WhisperForConditionalGeneration"],
+        "vocab_size": cfg.n_vocab,
+        "num_mel_bins": cfg.n_mels,
+        "d_model": cfg.n_audio_state,
+        "encoder_layers": cfg.n_audio_layer,
+        "encoder_attention_heads": cfg.n_audio_head,
+        "encoder_ffn_dim": 4 * cfg.n_audio_state,
+        "decoder_layers": cfg.n_text_layer,
+        "decoder_attention_heads": cfg.n_text_head,
+        "decoder_ffn_dim": 4 * cfg.n_text_state,
+        "max_source_positions": cfg.n_audio_ctx,
+        "max_target_positions": cfg.n_text_ctx,
+        "activation_function": "gelu",
+        "is_encoder_decoder": True,
+        "tie_word_embeddings": True,
+    }
+
+
+def whisper_params_to_hf_state_dict(
+    params: Params, cfg: WhisperConfig
+) -> Dict[str, np.ndarray]:
+    """Export a whisper pytree to transformers naming (f32 numpy arrays).
+
+    Emits ``WhisperForConditionalGeneration`` keys (``model.encoder.*`` /
+    ``model.decoder.*``); ``proj_out`` stays tied to ``embed_tokens`` (the
+    transformers loader re-ties it from the config), and the encoder's
+    frozen sinusoidal ``embed_positions`` table is synthesized since this
+    model computes it in-kernel.
+    """
+    from lyricalignment_tpu.models.whisper import sinusoid_position_embedding
+
+    out: Dict[str, np.ndarray] = {}
+    enc, dec = params["encoder"], params["decoder"]
+    out["model.encoder.conv1.weight"] = np.asarray(
+        enc["conv1"]["w"], dtype=np.float32).copy()
+    out["model.encoder.conv1.bias"] = np.asarray(
+        enc["conv1"]["b"], dtype=np.float32).copy()
+    out["model.encoder.conv2.weight"] = np.asarray(
+        enc["conv2"]["w"], dtype=np.float32).copy()
+    out["model.encoder.conv2.bias"] = np.asarray(
+        enc["conv2"]["b"], dtype=np.float32).copy()
+    out["model.encoder.embed_positions.weight"] = np.asarray(
+        sinusoid_position_embedding(cfg.n_audio_ctx, cfg.n_audio_state),
+        dtype=np.float32)
+    for i, block in enumerate(enc["blocks"]):
+        _hf_block_out(block, f"model.encoder.layers.{i}", out)
+    _hf_ln_out(enc["ln_post"], "model.encoder.layer_norm", out)
+
+    out["model.decoder.embed_tokens.weight"] = np.asarray(
+        dec["token_embedding"], dtype=np.float32).copy()
+    out["model.decoder.embed_positions.weight"] = np.asarray(
+        dec["positional_embedding"], dtype=np.float32).copy()
+    for i, block in enumerate(dec["blocks"]):
+        _hf_block_out(block, f"model.decoder.layers.{i}", out)
+    _hf_ln_out(dec["ln"], "model.decoder.layer_norm", out)
+    return out
+
+
+def save_hf_checkpoint(params: Params, cfg: WhisperConfig, path: str) -> None:
+    """Write a transformers-loadable Whisper save directory.
+
+    Produces ``config.json`` + ``model.safetensors`` (or
+    ``pytorch_model.bin`` when safetensors is unavailable), consumable by
+    ``WhisperForConditionalGeneration.from_pretrained(path)``.
+    """
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_config_dict(cfg), f, indent=2)
+    sd = whisper_params_to_hf_state_dict(params, cfg)
+    try:
+        from safetensors.numpy import save_file
+
+        save_file(sd, os.path.join(path, "model.safetensors"))
+    except ImportError:
+        import torch
+
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+                   os.path.join(path, "pytorch_model.bin"))
 
 
 # ---------------------------------------------------------------------------

@@ -50,8 +50,8 @@ class WhisperConfig:
     # softmax in compute dtype instead of f32: ~15% faster encoder on v5e
     # (attention matrices dominate HBM traffic); off by default for parity
     fast_softmax: bool = False
-    # tanh-approximate GELU instead of whisper's exact erf GELU in the
-    # tanh GELU across the model: encoder conv stem + every MLP (encoder,
+    # tanh-approximate GELU instead of whisper's exact erf GELU, applied
+    # across the model: encoder conv stem + every MLP (encoder,
     # teacher-forced decoder, KV-cached prime/step). Saves ~0.7 ms per
     # encoder MLP activation on v5e (~15% of the encoder); the
     # approximation error (<= 3e-3 absolute) is below bf16 rounding, but

@@ -84,6 +84,19 @@ def test_hf_import_matches_transformers(tmp_path, rng):
                     jax.tree_util.tree_leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # --- export: transformers loads our save dir and reproduces logits ---
+    from lyricalignment_tpu.models.convert import save_hf_checkpoint
+
+    out_dir = str(tmp_path / "hf_exported")
+    save_hf_checkpoint(params, cfg, out_dir)
+    assert os.path.exists(os.path.join(out_dir, "model.safetensors"))
+    reloaded = transformers.WhisperForConditionalGeneration.from_pretrained(
+        out_dir).eval()
+    with torch.no_grad():
+        logits_rt = reloaded(input_features=mel_t,
+                             decoder_input_ids=tok_t).logits.numpy()
+    np.testing.assert_allclose(logits_rt, logits_hf, atol=5e-4, rtol=1e-4)
+
     # --- guards fail loudly instead of converting silently wrong ---
     bad = dict(sd)
     bad["proj_out.weight"] = sd["model.decoder.embed_tokens.weight"] + 1.0
