@@ -32,7 +32,9 @@ step for large configs), BENCH_TIME_BUDGET (full-mode wall budget in
 seconds, default 1800 — emit whatever is measured before it expires;
 a cold run measures ~26 min end to end: ~6 min tunnel warm-up/probe +
 ~20 min for the headline and all four subs incl. remote compiles),
-BENCH_PROBE_ATTEMPTS (backend probes before giving up, default 2),
+BENCH_PROBE_ATTEMPTS (backend probes before giving up in single modes,
+default 2; full mode instead probes budget-bounded until
+BENCH_TIME_BUDGET minus a headline reserve),
 BENCH_ALLOW_CPU=1 (force a host-CPU run for local smoke tests — without it
 a missing accelerator exits non-zero rather than recording CPU-fallback
 numbers as the round's headline).
@@ -329,7 +331,8 @@ def _emit(metric, value, sub=None):
     print(json.dumps(line))
 
 
-def _wait_for_backend(attempts=None, probe_timeout=300, sleeps=(30,)):
+def _wait_for_backend(attempts=None, probe_timeout=300, sleeps=(30,),
+                      until=None):
     """Gate on a REAL accelerator before any in-process device use.
 
     The axon tunnel intermittently refuses/hangs backend setup
@@ -348,7 +351,15 @@ def _wait_for_backend(attempts=None, probe_timeout=300, sleeps=(30,)):
     ~150-350 s to first contact; the r4 capture burned two 150 s probes
     before the third finally landed). If every probe fails, exit non-zero
     WITHOUT printing a metric line (a missing bench is diagnosable; a
-    fake number is not)."""
+    fake number is not).
+
+    ``until`` (a ``time.monotonic`` deadline) switches to budget-bounded
+    probing: ``attempts`` is ignored and probing continues while a probe
+    still fits before the deadline (at least one always runs). Full mode
+    passes the run budget minus a headline reserve — giving up at a fixed
+    attempt count while the deadline-safe budget has 20 spare minutes is
+    how a transiently-down tunnel loses the round's headline for nothing
+    (round-4 post-mortem)."""
     allow_cpu = os.environ.get("BENCH_ALLOW_CPU") == "1"
     if allow_cpu:
         # BENCH_ALLOW_CPU=1 means "run this smoke on the host CPU, full
@@ -368,22 +379,34 @@ def _wait_for_backend(attempts=None, probe_timeout=300, sleeps=(30,)):
              "x = jnp.ones((8, 8));"
              "print(np.asarray(x @ x)[0, 0])")
     err = "no probes attempted (BENCH_PROBE_ATTEMPTS=0?)"
-    for i in range(attempts):
+    i = 0
+    while True:
+        this_timeout = probe_timeout
+        if until is not None:
+            remaining = until - time.monotonic()
+            if i > 0 and remaining < 60:
+                break  # budget exhausted (first probe always runs)
+            this_timeout = max(60, min(probe_timeout, remaining))
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               timeout=probe_timeout, capture_output=True)
+                               timeout=this_timeout, capture_output=True)
             if r.returncode == 0:
                 return
             err = r.stderr.decode(errors="replace").strip().splitlines()
             err = err[-1] if err else "?"
         except subprocess.TimeoutExpired:
-            err = f"probe timed out after {probe_timeout}s"
-        if i < attempts - 1:
-            wait = sleeps[min(i, len(sleeps) - 1)]
-            print(f"# backend probe {i + 1}/{attempts} failed ({err}); "
-                  f"retrying in {wait}s", file=sys.stderr, flush=True)
-            time.sleep(wait)
-    print(f"# no usable accelerator after {attempts} probes ({err}); "
+            err = f"probe timed out after {this_timeout:.0f}s"
+        i += 1
+        more = (until - time.monotonic() >= 60) if until is not None \
+            else (i < attempts)
+        if not more:
+            break
+        wait = sleeps[min(i - 1, len(sleeps) - 1)]
+        label = f"{i}/{attempts}" if until is None else f"{i} (budget-bounded)"
+        print(f"# backend probe {label} failed ({err}); "
+              f"retrying in {wait}s", file=sys.stderr, flush=True)
+        time.sleep(wait)
+    print(f"# no usable accelerator after {i} probes ({err}); "
           "refusing to record CPU-fallback numbers "
           "(set BENCH_ALLOW_CPU=1 to override)", file=sys.stderr, flush=True)
     raise SystemExit(3)
@@ -474,7 +497,10 @@ def _full_main(model_name):
     # hard alarm just inside the budget so a stuck child can't overrun it
     signal.alarm(max(int(budget) - 10, 60))
 
-    _wait_for_backend()
+    # probe until the budget minus a headline reserve (child cap 600 +
+    # emit margin): a tunnel that comes back mid-window still gets a
+    # captured headline instead of a fixed-attempt give-up
+    _wait_for_backend(until=deadline - 660)
     _RESULT["metric"] = f"alignment_throughput_{model_name}"
 
     # headline first — it is the metric the driver records; give it a
