@@ -520,16 +520,21 @@ def _full_main(model_name):
     if os.environ.get("BENCH_SUB", "1") != "0":
         # cheapest-first (measured r4 capture: align_large ~3 min,
         # transcribe ~3, longform ~4, train ~6 incl remote compiles) so a
-        # deadline truncation drops the fewest sub metrics
+        # deadline truncation drops the fewest sub metrics. align_large
+        # gets a 600 s cap + halved iters: a warm r4 run lost it to the
+        # 420 s default when the remote compile cache missed (compile
+        # dominates; 4 amortized iters still measure ~2 s of device time)
         sub_plan = [
-            ("align_large", "align", {"BENCH_MODEL": "large"}),
-            (f"transcribe_{model_name}_beam5", "transcribe", {}),
-            (f"longform_{model_name}_beam5", "longform", {}),
-            (f"train_{model_name}", "train", {}),
+            ("align_large", "align", 600,
+             {"BENCH_MODEL": "large", "BENCH_ITERS": "4"}),
+            (f"transcribe_{model_name}_beam5", "transcribe", 420, {}),
+            (f"longform_{model_name}_beam5", "longform", 420, {}),
+            (f"train_{model_name}", "train", 420, {}),
         ]
-        _RESULT["sub"] = {k: None for k, _, _ in sub_plan}
-        for key, mode, extra in sub_plan:
-            _RESULT["sub"][key] = _run_child_bench(mode, deadline, env_extra=extra)
+        _RESULT["sub"] = {k: None for k, _, _, _ in sub_plan}
+        for key, mode, cap, extra in sub_plan:
+            _RESULT["sub"][key] = _run_child_bench(mode, deadline, cap=cap,
+                                                   env_extra=extra)
 
     _emit_result_and_exit()
 
