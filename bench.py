@@ -371,7 +371,20 @@ def _wait_for_backend(attempts=None, probe_timeout=300, sleeps=(30,),
         jax.config.update("jax_platforms", "cpu")
         return
     if os.environ.get("_BENCH_CHILD") == "1":
-        return  # parent orchestrator already probed; don't pay it again
+        # Parent orchestrator already probed the tunnel — don't pay a
+        # subprocess probe again. But the guard against silently recording
+        # host-CPU throughput must hold PER CHILD: the tunnel can drop
+        # between the parent's probe and this child's backend init, and
+        # jax would fall back to CPU. Asserting in-process is free (the
+        # child inits its backend right after anyway); if the dead tunnel
+        # makes init hang instead, the parent's per-child cap converts
+        # that into a null sub metric rather than a fake number.
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            print("# child backend fell back to host CPU; refusing to "
+                  "record CPU throughput", file=sys.stderr, flush=True)
+            raise SystemExit(3)
+        return
     if attempts is None:
         attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "2"))
     probe = ("import jax, numpy as np, jax.numpy as jnp;"
@@ -461,10 +474,19 @@ def _run_child_bench(mode, deadline, cap=420, env_extra=None):
     env.update(env_extra or {})
     env["BENCH_MODE"] = mode
     env["_BENCH_CHILD"] = "1"
+    # block deadline signals across the spawn so a signal landing between
+    # Popen and the _CURRENT_CHILD assignment cannot orphan a live TPU
+    # child (the handler would read a stale None and skip the kill,
+    # leaving two TPU processes once the driver's next command starts)
+    deadline_sigs = {signal.SIGTERM, signal.SIGINT, signal.SIGALRM}
     try:
-        _CURRENT_CHILD = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            stdout=subprocess.PIPE, stderr=None, text=True)
+        signal.pthread_sigmask(signal.SIG_BLOCK, deadline_sigs)
+        try:
+            _CURRENT_CHILD = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, stderr=None, text=True)
+        finally:
+            signal.pthread_sigmask(signal.SIG_UNBLOCK, deadline_sigs)
         out, _ = _CURRENT_CHILD.communicate(timeout=min(cap, remaining - 30))
         rc = _CURRENT_CHILD.returncode
     except subprocess.TimeoutExpired:

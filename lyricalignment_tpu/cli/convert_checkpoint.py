@@ -83,6 +83,28 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _arch_dims(c):
+    return (c.n_audio_state, c.n_audio_layer, c.n_audio_head,
+            c.n_text_state, c.n_text_layer, c.n_text_head,
+            c.n_vocab, c.n_mels)
+
+
+def match_whisper_size(ckpt_cfg):
+    """Name of the WHISPER_CONFIGS entry whose FULL architecture matches.
+
+    Matching on encoder dims alone is not enough: the HF ecosystem
+    publishes asymmetric variants (distil-whisper keeps the full encoder
+    over 2 decoder layers; ``*.en`` models use vocab 51864) whose weights
+    would disagree with the config every later ``load_model_dir``
+    reconstructs from the size name — decode buffers, suppress masks and
+    CE losses sized by ``cfg.n_vocab`` would then mismatch the stored
+    logits/embedding. Returns None when nothing matches exactly."""
+    from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS
+
+    return next((n for n, c in WHISPER_CONFIGS.items()
+                 if _arch_dims(c) == _arch_dims(ckpt_cfg)), None)
+
+
 def _write_model_dir(out_dir, whisper_model, use_ctc, params, model_name):
     from lyricalignment_tpu.train.checkpoints import save_json, save_pytree
 
@@ -122,7 +144,6 @@ def main(argv=None):
         from lyricalignment_tpu.models.align_model import init_align_model
         from lyricalignment_tpu.models.convert import (
             load_hf_checkpoint, load_openai_checkpoint)
-        from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS
 
         if args.cmd == "import-hf":
             src = args.hf_dir
@@ -130,13 +151,14 @@ def main(argv=None):
         else:
             src = args.pt
             ckpt_cfg, whisper_params = load_openai_checkpoint(src)
-        name = next((n for n, c in WHISPER_CONFIGS.items()
-                     if (c.n_audio_state, c.n_audio_layer) ==
-                     (ckpt_cfg.n_audio_state, ckpt_cfg.n_audio_layer)), None)
+        name = match_whisper_size(ckpt_cfg)
         if name is None:
             raise SystemExit(
-                f"checkpoint dims (state={ckpt_cfg.n_audio_state}, "
-                f"layers={ckpt_cfg.n_audio_layer}) match no known whisper size")
+                f"checkpoint architecture {_arch_dims(ckpt_cfg)} (audio "
+                "state/layers/heads, text state/layers/heads, vocab, mels) "
+                "matches no known whisper size — asymmetric variants "
+                "(distil-whisper, *.en vocab) cannot be stored under a "
+                "standard size name")
         mcfg = build_model_config(
             name, output_dim=21128 + (1 if args.use_ctc_loss else 0))
         params = init_align_model(jax.random.PRNGKey(args.seed), mcfg)

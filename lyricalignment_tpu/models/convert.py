@@ -39,7 +39,10 @@ Params = Dict[str, Any]
 
 def _np(t) -> np.ndarray:
     if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
+        t = t.detach().cpu()
+        if hasattr(t, "float"):
+            t = t.float()  # bf16 torch tensors cannot cross into numpy
+        t = t.numpy()
     return np.asarray(t, dtype=np.float32)
 
 
@@ -212,9 +215,18 @@ def whisper_params_from_hf_state_dict(sd: Mapping, cfg: WhisperConfig) -> Params
     if "encoder.embed_positions.weight" in sd:
         from lyricalignment_tpu.models.whisper import sinusoid_position_embedding
 
-        stored = _np(sd["encoder.embed_positions.weight"])
+        raw = sd["encoder.embed_positions.weight"]
+        stored = _np(raw)
         want = np.asarray(sinusoid_position_embedding(*stored.shape))
-        if not np.allclose(stored, want, atol=1e-4):
+        # fp16/bf16 save_pretrained rounds the frozen sinusoid table by up
+        # to ~2e-3 near |1|; a genuinely trained PE drifts far more, so the
+        # tolerance follows the checkpoint's storage width
+        if hasattr(raw, "element_size"):
+            nbytes = raw.element_size()
+        else:
+            nbytes = getattr(raw, "itemsize", 4)
+        atol = 2.5e-3 if nbytes <= 2 else 1e-4
+        if not np.allclose(stored, want, atol=atol):
             raise ValueError(
                 "HF checkpoint's encoder embed_positions differ from the "
                 "whisper sinusoids (transformers keeps them frozen; this "

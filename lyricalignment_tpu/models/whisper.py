@@ -250,7 +250,6 @@ def int8_resident_params(whisper_params: Params) -> Params:
     def quant_linears(node):
         if isinstance(node, dict):
             if "w" in node and getattr(node["w"], "ndim", 0) == 2:
-                from jax import numpy as _jnp  # noqa: F401 (device op below)
                 wq, ws = _quantize_int8(node["w"], axis=0)
                 out = {"wq": wq, "ws": ws}
                 if "b" in node:

@@ -42,14 +42,15 @@ except ImportError:  # pragma: no cover - older jax
     _SHARD_MAP_NO_CHECK = {"check_rep": False}
 
 
-def stack_encoder_blocks(blocks: list, n_stages: int) -> Dict[str, Any]:
+def stack_encoder_blocks(blocks: list, n_stages: int,
+                         kind: str = "encoder") -> Dict[str, Any]:
     """Stack the per-layer block dicts into one pytree with leaves
     ``[n_stages, L/n_stages, ...]`` (layer-major), ready to shard the
     leading dim over the pipe axis."""
     n_layers = len(blocks)
     if n_layers % n_stages:
         raise ValueError(
-            f"{n_layers} encoder layers not divisible by {n_stages} stages")
+            f"{n_layers} {kind} layers not divisible by {n_stages} stages")
     per = n_layers // n_stages
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
     return jax.tree_util.tree_map(
@@ -170,7 +171,7 @@ def stack_decoder_blocks(blocks: list, n_stages: int) -> Dict[str, Any]:
     MLP leaves) into one pytree with leaves ``[n_stages, L/n_stages, ...]``
     — the stacking is structure-generic, so this shares the encoder
     implementation."""
-    return stack_encoder_blocks(blocks, n_stages)
+    return stack_encoder_blocks(blocks, n_stages, kind="decoder")
 
 
 def pipeline_decoder_blocks(

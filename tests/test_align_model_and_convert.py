@@ -138,3 +138,25 @@ def test_openai_style_state_dict_import(cfg, params):
         np.asarray(restored["decoder"]["token_embedding"]),
         np.asarray(params["whisper"]["decoder"]["token_embedding"]),
     )
+
+
+def test_match_whisper_size_full_architecture():
+    """import-{openai,hf} size matching must compare the FULL architecture:
+    asymmetric published variants (distil-whisper's 2 decoder layers,
+    ``*.en`` vocab 51864) must be refused rather than stored under a
+    standard size name whose config later loads would disagree with."""
+    import dataclasses
+
+    from lyricalignment_tpu.cli.convert_checkpoint import match_whisper_size
+    from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS
+
+    for name, wcfg in WHISPER_CONFIGS.items():
+        # large and large-v2 are architecturally identical, so assert the
+        # matched name resolves to the same architecture, not the same key
+        matched = match_whisper_size(wcfg)
+        assert matched is not None and WHISPER_CONFIGS[matched] == wcfg
+
+    distil = dataclasses.replace(WHISPER_CONFIGS["large-v2"], n_text_layer=2)
+    assert match_whisper_size(distil) is None
+    en = dataclasses.replace(WHISPER_CONFIGS["medium"], n_vocab=51864)
+    assert match_whisper_size(en) is None

@@ -108,3 +108,21 @@ def test_hf_import_matches_transformers(tmp_path, rng):
         sd["model.encoder.embed_positions.weight"] + 0.5)
     with pytest.raises(ValueError, match="sinusoids"):
         whisper_params_from_hf_state_dict(bad, cfg)
+
+    # --- half-precision saves must not trip the trained-PE guard ---
+    # fp16/bf16 save_pretrained rounds the frozen sinusoid table; the
+    # guard's tolerance follows the storage width instead of rejecting
+    # valid fine-tunes (round-4 review finding)
+    for half_dtype in (torch.float16, torch.bfloat16):
+        sd_half = {k: v.to(half_dtype) for k, v in sd.items()}
+        params_half = whisper_params_from_hf_state_dict(sd_half, cfg)
+        np.testing.assert_allclose(
+            np.asarray(params_half["decoder"]["token_embedding"]),
+            np.asarray(params["decoder"]["token_embedding"]),
+            atol=1e-2)
+    # ...while a genuinely trained PE still fails loudly even in fp16
+    trained = dict(sd)
+    trained["model.encoder.embed_positions.weight"] = (
+        sd["model.encoder.embed_positions.weight"] + 0.05).half()
+    with pytest.raises(ValueError, match="sinusoids"):
+        whisper_params_from_hf_state_dict(trained, cfg)
