@@ -27,10 +27,13 @@ with static shapes (L and T padded to maxima, masked by true lengths).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from lyricalignment_tpu import HOP_SIZE_SECOND
 
@@ -239,6 +242,97 @@ def _chunked_lse(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     return m + jnp.log(s)
 
 
+_LSE_BT_BLOCK = 256    # rows of h per kernel invocation
+_LSE_C_BLOCK = 2048    # fc columns streamed per step (VMEM ~9 MB at F=768)
+
+
+def _lse_kernel(h_ref, w_ref, b_ref, o_ref, m_ref, s_ref):
+    """One (row-block, column-chunk) step of the streaming logsumexp: the
+    [bt, c] logits tile lives only in VMEM; running (max, sum) carry across
+    the column grid axis in scratch (flash-softmax recurrence)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full(m_ref.shape, NEG_INF, m_ref.dtype)
+        s_ref[:] = jnp.zeros(s_ref.shape, s_ref.dtype)
+
+    logits = jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    logits = logits + b_ref[0][None, :]
+    cm = jnp.max(logits, axis=-1, keepdims=True)
+    m_prev = m_ref[:]
+    nm = jnp.maximum(m_prev, cm)
+    s_ref[:] = (s_ref[:] * jnp.exp(m_prev - nm)
+                + jnp.sum(jnp.exp(logits - nm), axis=-1, keepdims=True))
+    m_ref[:] = nm
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _emit():
+        o_ref[:] = m_ref[:] + jnp.log(s_ref[:])
+
+
+def _chunked_lse_pallas(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Pallas TPU backend for ``_chunked_lse``: same online max/sum
+    recurrence with the per-chunk [rows, c_block] logits tile pinned in
+    VMEM. Kept as a tested opt-in exhibit — the hypothesis that the scan
+    path's chunk outputs round-trip HBM did NOT survive measurement (the
+    A/B is a wash; see ``_row_lse``), i.e. XLA already fuses the chunked
+    matmul+reduce competitively."""
+    bdim, tdim, fdim = h.shape
+    hf = h.reshape(bdim * tdim, fdim).astype(jnp.float32)
+    bt = bdim * tdim
+    bt_pad = -(-bt // _LSE_BT_BLOCK) * _LSE_BT_BLOCK
+    if bt_pad != bt:
+        hf = jnp.pad(hf, ((0, bt_pad - bt), (0, 0)))
+    c_dim = w.shape[1]
+    c_pad = -(-c_dim // _LSE_C_BLOCK) * _LSE_C_BLOCK
+    wp = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, c_pad - c_dim)))
+    # padding columns carry bias NEG_INF -> exp underflows to exactly 0
+    bp = jnp.pad(b.astype(jnp.float32), (0, c_pad - c_dim),
+                 constant_values=NEG_INF)[None, :]
+    out = pl.pallas_call(
+        _lse_kernel,
+        grid=(bt_pad // _LSE_BT_BLOCK, c_pad // _LSE_C_BLOCK),
+        in_specs=[
+            pl.BlockSpec((_LSE_BT_BLOCK, fdim), lambda i, j: (i, 0)),
+            pl.BlockSpec((fdim, _LSE_C_BLOCK), lambda i, j: (0, j)),
+            pl.BlockSpec((1, _LSE_C_BLOCK), lambda i, j: (0, j)),
+        ],
+        # 2-D [bt, 1] output: a 1-D f32 output picks up an XLA layout tiling
+        # (T(1024)) that Mosaic's 256-element block cannot match
+        out_specs=pl.BlockSpec((_LSE_BT_BLOCK, 1), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bt_pad, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_LSE_BT_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((_LSE_BT_BLOCK, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(hf, wp, bp)
+    return out[:bt, 0].reshape(bdim, tdim)
+
+
+def _row_lse(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+             chunk: int) -> jnp.ndarray:
+    """Class-normaliser dispatch. Default: the XLA chunked scan.
+
+    The Pallas streaming kernel (``LA_TPU_PALLAS_LSE=1``) measured a WASH
+    at the production operating point (medium B=16, same-run A/B/A/B:
+    scan 2588.9/2590.3 vs pallas 2586.5/2585.8 audio-s/s, outputs exactly
+    equal — scripts/bench_pallas_lse.py): XLA's consumer fusion already
+    keeps the chunked matmul+reduce off the HBM critical path, and the
+    normaliser itself is a small share of the batch time next to the
+    encoder. The kernel stays as a tested opt-in (it would win only if a
+    future XLA regression un-fuses the scan path)."""
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("LA_TPU_PALLAS_LSE")):
+        return _chunked_lse_pallas(h, w, b)
+    return _chunked_lse(h, w, b, chunk)
+
+
 def _gather_label_logits(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                          labels: jnp.ndarray) -> jnp.ndarray:
     """Per-position label-column logits [B, T, L]: gather the L needed fc
@@ -257,7 +351,7 @@ def ce_emissions_fused(h: jnp.ndarray, fc: dict, labels: jnp.ndarray,
     Returns (label_logprob [B, T, L] per label *position*, silence [B, T]).
     """
     w, b = fc["w"], fc["b"]
-    lse = _chunked_lse(h, w, b, chunk)                     # [B, T]
+    lse = _row_lse(h, w, b, chunk)                         # [B, T]
     gathered = _gather_label_logits(h, w, b, labels)       # [B, T, L]
     sil = h @ w[:, 0] + b[0]                               # [B, T]
     lab_lp = jnp.maximum(gathered - lse[..., None], CLIP_MIN)
@@ -278,7 +372,7 @@ def ctc_emissions_fused(h: jnp.ndarray, fc: dict, labels: jnp.ndarray,
     from the end state).
     """
     w, b = fc["w"], fc["b"]
-    lse = _chunked_lse(h, w[:, 1:-1], b[1:-1], chunk)      # [B, T]
+    lse = _row_lse(h, w[:, 1:-1], b[1:-1], chunk)          # [B, T]
     gathered = _gather_label_logits(h, w, b, labels)       # [B, T, L]
     sil_logit = h @ w[:, -1] + b[-1]                       # [B, T]
     # log(sigmoid(x)) = -softplus(-x); log(1-sigmoid(x)) = -softplus(x)

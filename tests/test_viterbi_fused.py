@@ -105,3 +105,26 @@ def test_fused_hidden_entrypoint(rng):
     recomposed = h @ params["fc"]["w"] + params["fc"]["b"]
     np.testing.assert_allclose(np.asarray(recomposed), np.asarray(logits),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_lse_matches_scan_lse(rng):
+    """The Pallas streaming-logsumexp backend (TPU production path for the
+    fused emissions' class normaliser) must match the XLA chunked-scan
+    path bit-closely: padded fc columns carry a NEG_INF bias and must
+    contribute exactly zero, including for the CTC slice's odd width."""
+    from lyricalignment_tpu.ops.viterbi import _chunked_lse, _chunked_lse_pallas
+
+    b, t, f, c = 2, 37, 768, 21129
+    h = jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.standard_normal((f, c)).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+
+    ref = np.asarray(_chunked_lse(h, w, bias, 4224))
+    got = np.asarray(_chunked_lse_pallas(h, w, bias, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+
+    # CTC-head slice: odd column count exercises the padding path
+    ref = np.asarray(_chunked_lse(h, w[:, 1:-1], bias[1:-1], 4224))
+    got = np.asarray(_chunked_lse_pallas(h, w[:, 1:-1], bias[1:-1],
+                                         interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
