@@ -88,6 +88,81 @@ def gru_layer(
     return jnp.swapaxes(ys, 0, 1)
 
 
+def gru_layer_bidir(
+    cell_f: Params,
+    cell_b: Params,
+    x: jnp.ndarray,
+    unroll: int = 4,
+    lengths: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Both directions of one bi-GRU layer in a SINGLE scan: [B,T,In] -> [B,T,2H].
+
+    The forward and reverse recurrences are independent, so step ``t``
+    advances fwd position ``t`` and bwd position ``T-1-t`` together,
+    halving the number of sequential scans per layer via one batched einsum
+    over a stacked [2,H,3H] hidden weight.
+
+    MEASURED NEGATIVE — kept as a tested exhibit, NOT production
+    (`bigru_apply` runs per-direction ``gru_layer`` scans). Same-run A/B on
+    the v5e (scripts/bench_gru_fused.py, medium B=16 bf16): isolated head
+    4.4 ms (separate) vs 6.3 ms (fused); end-to-end alignment 2590 vs 2562
+    audio-s/s. The stacked-direction einsum + [T,2,B,3H] layout lowers
+    worse per step than two plain scans, and the whole bi-GRU is only ~2%
+    of the production batch. Outputs are identical to running ``gru_layer``
+    twice (same per-direction reduction order; ``lengths`` pass-through
+    semantics match too).
+    """
+    h_dim = cell_f["w_hh"].shape[0]
+    dtype = x.dtype
+    T = x.shape[1]
+
+    # hoisted input projections (one MXU matmul each, whole sequence)
+    xw_f = x @ cell_f["w_ih"].astype(dtype) + cell_f["b_ih"].astype(dtype)
+    xw_b = x @ cell_b["w_ih"].astype(dtype) + cell_b["b_ih"].astype(dtype)
+    # scan-major [T, 2, B, 3H]; lane 1 walks the sequence back-to-front
+    xw = jnp.stack(
+        [jnp.swapaxes(xw_f, 0, 1), jnp.swapaxes(xw_b, 0, 1)[::-1]], axis=1)
+
+    w_hh = jnp.stack([cell_f["w_hh"], cell_b["w_hh"]]).astype(dtype)  # [2,H,3H]
+    b_hh = jnp.stack([cell_f["b_hh"], cell_b["b_hh"]]).astype(dtype)[:, None, :]
+
+    def gates(h, xw_t):
+        hw = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh  # [2, B, 3H]
+        xr, xz, xn = jnp.split(xw_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hw, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        return (1.0 - z) * n + z * h
+
+    if lengths is None:
+        def step(h, xw_t):
+            h_new = gates(h, xw_t)
+            return h_new, h_new
+
+        xs = xw
+    else:
+        t_idx = jnp.arange(T, dtype=jnp.int32)
+        lens = lengths[None, :].astype(jnp.int32)
+        valid = jnp.stack(
+            [t_idx[:, None] < lens,            # fwd: position t
+             (T - 1 - t_idx)[:, None] < lens], # bwd: position T-1-t
+            axis=1)  # [T, 2, B]
+
+        def step(h, xs_t):
+            xw_t, valid_t = xs_t
+            h_new = jnp.where(valid_t[..., None], gates(h, xw_t), h)
+            return h_new, h_new
+
+        xs = (xw, valid)
+
+    h0 = jnp.zeros((2, x.shape[0], h_dim), dtype)
+    _, ys = jax.lax.scan(step, h0, xs, unroll=unroll)  # [T, 2, B, H]
+    out_f = jnp.swapaxes(ys[:, 0], 0, 1)
+    out_b = jnp.swapaxes(ys[::-1, 1], 0, 1)
+    return jnp.concatenate([out_f, out_b], axis=-1)
+
+
 def init_bigru(
     key: jax.Array, n_in: int, n_hidden: int, num_layers: int = 2,
     bidirectional: bool = True,

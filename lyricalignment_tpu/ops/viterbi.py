@@ -42,6 +42,20 @@ NEG_INF = -1.0e30      # padding for shifted neighbours / invalid states
 CLIP_MIN = -1000.0     # reference clips log-probs at -1000
 
 
+def _dp_unroll() -> int:
+    """Unroll factor for the DP/backtrace scans, read at trace time.
+
+    MEASURED A WASH (v5e, scripts/bench_viterbi_unroll.py, medium B=16):
+    the batched fused Viterbi is only ~1.1 ms/call — unroll 1/8/16 all
+    measure 1.08-1.15 ms isolated and ~2589 audio-s/s end-to-end, outputs
+    exactly equal. The hypothesis that per-iteration scan overhead matters
+    here did not survive: the vmapped step is a [B, K] vector update, large
+    enough to hide loop cost. Default stays 1; the knob remains for re-
+    measurement on future toolchains.
+    """
+    return int(os.environ.get("LA_TPU_VITERBI_UNROLL", "1"))
+
+
 def ce_emissions(logits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Plain-CE emission prep (`utils/alignment.py:13-21`).
 
@@ -162,7 +176,7 @@ def _viterbi_dp(
         return new_dp, bt
 
     ts = jnp.arange(1, t_max)
-    dp_final, bts = jax.lax.scan(step, dp0, (em[1:], ts))
+    dp_final, bts = jax.lax.scan(step, dp0, (em[1:], ts), unroll=_dp_unroll())
     # bts: [T-1, K]; bts[j] are the backpointers into row j (time j -> j+1)
 
     # end state: 2L (last silence) if it strictly beats 2L-1, else 2L-1
@@ -175,7 +189,8 @@ def _viterbi_dp(
         prev_state = bt_row[cur]
         return prev_state, prev_state
 
-    _, path_head = jax.lax.scan(back, end_state, bts, reverse=True)
+    _, path_head = jax.lax.scan(back, end_state, bts, reverse=True,
+                                unroll=_dp_unroll())
     path = jnp.concatenate([path_head, end_state[None]])  # [T]
 
     # onset = first frame in state 2i+1, offset = last + 1 (masked to true T)

@@ -92,3 +92,29 @@ def test_length_mask_none_is_unmasked(rng):
     masked = np.asarray(bigru_apply(params, jnp.asarray(x),
                                     lengths=jnp.asarray([9, 9], np.int32)))
     np.testing.assert_allclose(masked, full, atol=1e-6)
+
+
+def test_fused_bidir_layer_matches_separate_scans(rng):
+    """gru_layer_bidir (measured-negative exhibit) == two gru_layer scans,
+    with and without length masking."""
+    from lyricalignment_tpu.ops.gru import gru_layer_bidir
+
+    n_in, n_hidden = 12, 16
+    key = jax.random.PRNGKey(3)
+    cf = init_gru_cell(jax.random.fold_in(key, 0), n_in, n_hidden)
+    cb = init_gru_cell(jax.random.fold_in(key, 1), n_in, n_hidden)
+    x = jnp.asarray(rng.standard_normal((3, 11, n_in)).astype(np.float32))
+
+    sep = jnp.concatenate(
+        [gru_layer(cf, x), gru_layer(cb, x, reverse=True)], axis=-1)
+    fused = gru_layer_bidir(cf, cb, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(sep),
+                               atol=1e-6, rtol=1e-6)
+
+    lengths = jnp.asarray([11, 7, 4], jnp.int32)
+    sep_m = jnp.concatenate(
+        [gru_layer(cf, x, lengths=lengths),
+         gru_layer(cb, x, reverse=True, lengths=lengths)], axis=-1)
+    fused_m = gru_layer_bidir(cf, cb, x, lengths=lengths)
+    np.testing.assert_allclose(np.asarray(fused_m), np.asarray(sep_m),
+                               atol=1e-6, rtol=1e-6)
