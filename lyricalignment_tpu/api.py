@@ -142,8 +142,13 @@ class LyricAligner:
 
         from types import SimpleNamespace
 
-        wt = WhisperTokenizer(multilingual=True, language=language,
-                              task="transcribe", bpe_path=whisper_bpe)
+        from lyricalignment_tpu.text.whisper_tokenizer import (
+            num_languages_for_vocab)
+
+        wt = WhisperTokenizer(
+            multilingual=True, language=language, task="transcribe",
+            bpe_path=whisper_bpe,
+            num_languages=num_languages_for_vocab(self.mcfg.whisper.n_vocab))
         if batch_size is None:
             batch_size = min(self.batch_size, 8)
         args = SimpleNamespace(

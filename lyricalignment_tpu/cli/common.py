@@ -53,7 +53,12 @@ def add_asset_args(parser: argparse.ArgumentParser) -> None:
     )
 
 
-def build_tokenizers(args) -> Tuple[BertWordPieceTokenizer, WhisperTokenizer]:
+def build_tokenizers(
+    args, num_languages: int = 99,
+) -> Tuple[BertWordPieceTokenizer, WhisperTokenizer]:
+    """``num_languages=100`` selects the v3-family special-token layout
+    (pass ``num_languages_for_vocab(cfg.n_vocab)`` when the backbone is
+    known — v3 backbones carry the extra <|yue|> language token)."""
     if args.bert_vocab:
         bert = BertWordPieceTokenizer(vocab_path=args.bert_vocab)
     elif getattr(args, "synthetic_vocab", False):
@@ -66,6 +71,7 @@ def build_tokenizers(args) -> Tuple[BertWordPieceTokenizer, WhisperTokenizer]:
     whisper_tok = WhisperTokenizer(
         multilingual=True, language=getattr(args, "language", "zh"),
         task="transcribe", bpe_path=getattr(args, "whisper_bpe", None),
+        num_languages=num_languages,
     )
     return bert, whisper_tok
 

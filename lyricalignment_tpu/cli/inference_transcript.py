@@ -131,7 +131,8 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
 
     @jax.jit
     def encode(params, audio):
-        mel = pad_or_trim(log_mel_spectrogram(audio), N_FRAMES)
+        mel = pad_or_trim(log_mel_spectrogram(audio, n_mels=wcfg.n_mels),
+                          N_FRAMES)
         return encode_audio(params, wcfg, mel)
 
     # expand records into (record_idx, window) work items; long audio is
@@ -284,6 +285,17 @@ def main():
     else:
         raise SystemExit("--model-dir not found; pass --whisper-checkpoint for "
                          "a pretrained run (no network downloads available)")
+
+    # v3-family backbones (n_vocab 51866) carry 100 languages: rebuild the
+    # tokenizer with the matching special-token layout
+    from lyricalignment_tpu.text.whisper_tokenizer import num_languages_for_vocab
+
+    nl = num_languages_for_vocab(wcfg.n_vocab)
+    if nl != whisper_tok.num_languages:
+        whisper_tok = WhisperTokenizer(
+            multilingual=True, language=args.language, task="transcribe",
+            bpe_path=args.whisper_bpe, num_languages=nl,
+        )
 
     records = read_data(args.test_data)
     results = transcribe_records(records, params, wcfg, whisper_tok, args)

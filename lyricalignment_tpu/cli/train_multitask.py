@@ -122,7 +122,12 @@ def main():
     os.makedirs(args.save_dir, exist_ok=True)
     save_json(os.path.join(args.save_dir, "args.json"), vars(args))
 
-    bert, whisper_tok = build_tokenizers(args)
+    from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS
+    from lyricalignment_tpu.text.whisper_tokenizer import num_languages_for_vocab
+
+    bert, whisper_tok = build_tokenizers(
+        args, num_languages=num_languages_for_vocab(
+            WHISPER_CONFIGS[args.whisper_model].n_vocab))
     table = load_pronunciation_table()
 
     output_dim = len(bert) + int(args.use_ctc_loss)

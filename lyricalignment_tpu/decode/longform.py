@@ -280,7 +280,7 @@ def transcribe_longform(
 
     # bucket the padded audio to whole 30 s windows: one mel compile shape
     # per bucket instead of per audio length; mel stays on device
-    mel, content_frames = _prep_mel(audio)  # device f32[80, T']
+    mel, content_frames = _prep_mel(audio, cfg.n_mels)  # device f32[M, T']
     st = _new_song_state(0, mel, content_frames)
 
     while st["seek"] < content_frames:
@@ -344,24 +344,25 @@ def transcribe_longform(
     return _final_result(st, tokenizer)
 
 
-@jax.jit
-def _mel_device(padded_audio: jnp.ndarray) -> jnp.ndarray:
-    return log_mel_spectrogram(padded_audio)
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def _mel_device(padded_audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
+    return log_mel_spectrogram(padded_audio, n_mels=n_mels)
 
 
 @jax.jit
 def _gather_window(mel: jnp.ndarray, seek: jnp.ndarray) -> jnp.ndarray:
-    """Device-side 30 s window slice: mel f32[80, T'] -> f32[80, N_FRAMES].
+    """Device-side 30 s window slice: mel f32[M, T'] -> f32[M, N_FRAMES].
 
     Stays on device: over the remote-TPU tunnel, fetching a song's full mel
     to host and re-uploading one window per seek round costs more than the
     decode itself (measured ~230 ms down + ~450 ms up per 90 s song at the
     tunnel's ~17 MB/s, vs ~8 ms of on-device mel compute)."""
-    return jax.lax.dynamic_slice(mel, (jnp.int32(0), seek), (80, N_FRAMES))
+    return jax.lax.dynamic_slice(mel, (jnp.int32(0), seek),
+                                 (mel.shape[0], N_FRAMES))
 
 
-def _prep_mel(audio) -> Tuple[jnp.ndarray, int]:
-    """Whole-window-bucketed log-mel for one song: (device mel [80, T'],
+def _prep_mel(audio, n_mels: int = 80) -> Tuple[jnp.ndarray, int]:
+    """Whole-window-bucketed log-mel for one song: (device mel [n_mels, T'],
     content frames). The mel is computed and kept ON DEVICE (dispatch is
     async — on a directly attached host the upload DMAs overlap the current
     rounds' decode; the remote tunnel serializes transfers with compute,
@@ -379,16 +380,18 @@ def _prep_mel(audio) -> Tuple[jnp.ndarray, int]:
     padded_len = ((len(audio) + N_SAMPLES) + N_SAMPLES - 1) // N_SAMPLES * N_SAMPLES
     padded = np.zeros((padded_len,), np.float32)
     padded[: len(audio)] = audio
-    return _mel_device(jnp.asarray(padded)), content_frames
+    return _mel_device(jnp.asarray(padded), n_mels=n_mels), content_frames
 
 
-def prepare_longform_audio(audio: np.ndarray) -> Tuple[jnp.ndarray, int]:
+def prepare_longform_audio(audio: np.ndarray,
+                           n_mels: int = 80) -> Tuple[jnp.ndarray, int]:
     """Stage one song for ``transcribe_longform_batched``: upload + compute
     its log-mel on device, returning an opaque ``(mel, content_frames)``
     pair accepted anywhere an audio array is. Staging off the hot path lets
     a serving loop (or benchmark) pay host->device ingest once per song,
-    decoupled from the lockstep decode rounds."""
-    return _prep_mel(audio)
+    decoupled from the lockstep decode rounds. Pass the model's
+    ``cfg.n_mels`` for 128-band (large-v3 family) backbones."""
+    return _prep_mel(audio, n_mels)
 
 
 def transcribe_longform_batched(
@@ -449,7 +452,7 @@ def transcribe_longform_batched(
     queue = list(range(n_songs))
 
     def _load(idx: int) -> Dict:
-        mel, frames = _prep_mel(audios[idx])
+        mel, frames = _prep_mel(audios[idx], cfg.n_mels)
         return _new_song_state(idx, mel, frames)
 
     # prefetch pool: _prep_mel only DISPATCHES the audio upload + on-device
@@ -467,7 +470,7 @@ def transcribe_longform_batched(
         _take_next() if queue else None for _ in range(bsz)]
     round_idx = 0
 
-    zero_win = jnp.zeros((80, N_FRAMES), jnp.float32)  # idle batch slots
+    zero_win = jnp.zeros((cfg.n_mels, N_FRAMES), jnp.float32)  # idle slots
     while any(s is not None for s in slots):
         for idx in queue[:n_prefetch]:
             if idx not in prefetched:

@@ -147,7 +147,8 @@ def forward_from_audio(
         encode_fn = encode_audio
     if decode_fn is None:
         decode_fn = decoder_logits
-    mel = log_mel(audio)  # [B, 80, T_mel] (fused Pallas kernel on TPU)
+    # [B, n_mels, T_mel] (fused Pallas kernel on TPU for 80-band models)
+    mel = log_mel(audio, n_mels=cfg.whisper.n_mels)
     if frame_lengths is not None:
         # zero mel beyond each sample's true length: the reference computes
         # the mel on exact-length audio and zero-pads the *mel* to 30 s

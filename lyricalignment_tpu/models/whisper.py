@@ -108,6 +108,14 @@ WHISPER_CONFIGS: Dict[str, WhisperConfig] = {
     "medium": _cfg(1024, 16, 24),
     "large": _cfg(1280, 20, 32),
     "large-v2": _cfg(1280, 20, 32),
+    # v3 family (beyond the reference's WHISPER_DIM, which stops at large):
+    # 128 mel bands and one extra language token (yue -> n_vocab 51866).
+    # turbo keeps the large encoder over a 4-layer decoder.
+    "large-v3": _cfg(1280, 20, 32, n_mels=128, n_vocab=51866),
+    "large-v3-turbo": WhisperConfig(
+        n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+        n_text_state=1280, n_text_head=20, n_text_layer=4,
+        n_mels=128, n_vocab=51866),
 }
 
 # embed dim per model name — parity with the reference's WHISPER_DIM

@@ -173,11 +173,15 @@ def pad_or_trim(
     return array
 
 
-def log_mel(audio: jnp.ndarray, per_sample_max: bool = False) -> jnp.ndarray:
+def log_mel(audio: jnp.ndarray, per_sample_max: bool = False,
+            n_mels: int = N_MELS) -> jnp.ndarray:
     """Backend-dispatching log-mel: the fused Pallas kernel on TPU, the
-    einsum path elsewhere (numerically interchangeable to f32 rounding)."""
-    if not per_sample_max and jax.default_backend() == "tpu":
+    einsum path elsewhere (numerically interchangeable to f32 rounding).
+    The Pallas kernel is built for the 80-band layout; 128-band models
+    (the large-v3 family) take the einsum path on every backend."""
+    if not per_sample_max and n_mels == 80 and jax.default_backend() == "tpu":
         from lyricalignment_tpu.ops.mel_pallas import fused_log_mel
 
         return fused_log_mel(audio)
-    return log_mel_spectrogram(audio, per_sample_max=per_sample_max)
+    return log_mel_spectrogram(audio, n_mels=n_mels,
+                               per_sample_max=per_sample_max)

@@ -22,6 +22,8 @@ import os
 from typing import Dict, List, Optional, Sequence
 
 # Whisper's 99 languages in canonical order (token id = sot + 1 + index).
+# large-v3 models append "yue" as the 100th language, shifting every
+# special token after the language block up by one (n_vocab 51866).
 LANGUAGES = (
     "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he uk el ms "
     "cs ro da hu ta no th ur hr bg lt la mi ml cy sk te fa lv bn sr az sl kn "
@@ -29,6 +31,13 @@ LANGUAGES = (
     "tg sd gu am yi lo uz fo ht ps tk nn mt sa lb my bo tl mg as tt haw ln "
     "ha ba jw su"
 ).split()
+LANGUAGES_V3 = LANGUAGES + ["yue"]
+
+
+def num_languages_for_vocab(n_vocab: int) -> int:
+    """Language count implied by a model's vocab size: 51866 (the v3
+    family) carries 100 languages, everything else 99."""
+    return 100 if n_vocab >= 51866 else 99
 
 
 class WhisperTokenizer:
@@ -38,15 +47,19 @@ class WhisperTokenizer:
         language: str = "zh",
         task: str = "transcribe",
         bpe_path: Optional[str] = None,
+        num_languages: int = 99,
     ):
         self.multilingual = multilingual
         self.language = language
         self.task = task
+        self.num_languages = num_languages
+        self.languages = (LANGUAGES_V3 if num_languages == 100
+                          else LANGUAGES[:num_languages])
         # text vocab size: 50257 GPT-2-style tokens for English-only,
         # 50257 + re-trained multilingual vocab -> eot sits at this offset
         self.eot = 50257 if multilingual else 50256
         self.sot = self.eot + 1
-        n_langs = len(LANGUAGES)
+        n_langs = len(self.languages)
         self.translate = self.sot + n_langs + 1
         self.transcribe = self.sot + n_langs + 2
         self.sot_lm = self.sot + n_langs + 3
@@ -66,7 +79,7 @@ class WhisperTokenizer:
             "<|nospeech|>": self.no_speech,
             "<|notimestamps|>": self.no_timestamps,
         }
-        for i, lang in enumerate(LANGUAGES):
+        for i, lang in enumerate(self.languages):
             self.special_tokens[f"<|{lang}|>"] = self.sot + 1 + i
 
         self._encoding = None
