@@ -12,7 +12,7 @@ import argparse
 import dataclasses
 import os
 import random
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -87,10 +87,20 @@ def build_model_config(
     int8_encoder: bool = False,
     onepass_encoder: bool = False,
     int8_cross_kv: bool = False,
+    whisper_dims: Optional[dict] = None,
 ) -> AlignModelConfig:
+    """``whisper_dims`` (the ten architecture ints of ``WhisperConfig``)
+    overrides the name lookup — backbones that match no standard size
+    (distil-whisper's asymmetric decoder, *.en vocab) are stored in
+    args.json as ``whisper_model: "custom"`` + ``whisper_dims``."""
     import jax.numpy as jnp
 
-    wcfg = WHISPER_CONFIGS[whisper_model]
+    if whisper_dims is not None:
+        from lyricalignment_tpu.models.whisper import WhisperConfig
+
+        wcfg = WhisperConfig(**whisper_dims)
+    else:
+        wcfg = WHISPER_CONFIGS[whisper_model]
     if use_bf16:
         wcfg = dataclasses.replace(wcfg, compute_dtype=jnp.bfloat16)
     if fast_gelu:
@@ -164,6 +174,7 @@ def load_model_dir(
         freeze_encoder=model_args.get("freeze_encoder", False),
         train_alignment=model_args.get("train_alignment", True),
         train_transcript=model_args.get("train_transcript", False),
+        whisper_dims=train_args.get("whisper_dims"),
     )
 
     orbax_path = os.path.join(model_dir, f"{model_name}_model")

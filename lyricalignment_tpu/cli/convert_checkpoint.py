@@ -105,16 +105,25 @@ def match_whisper_size(ckpt_cfg):
                  if _arch_dims(c) == _arch_dims(ckpt_cfg)), None)
 
 
-def _write_model_dir(out_dir, whisper_model, use_ctc, params, model_name):
+def _write_model_dir(out_dir, whisper_model, use_ctc, params, model_name,
+                     whisper_dims=None):
+    """``whisper_model`` is a WHISPER_CONFIGS name, or "custom" with
+    ``whisper_dims`` carrying the full architecture (asymmetric backbones
+    like distil-whisper that match no standard size name)."""
+    from lyricalignment_tpu.models.whisper import WHISPER_DIM
     from lyricalignment_tpu.train.checkpoints import save_json, save_pytree
 
     os.makedirs(out_dir, exist_ok=True)
     output_dim = 21128 + (1 if use_ctc else 0)
-    save_json(os.path.join(out_dir, "args.json"),
-              {"whisper_model": whisper_model, "use_ctc_loss": use_ctc})
+    args_json = {"whisper_model": whisper_model, "use_ctc_loss": use_ctc}
+    if whisper_dims is not None:
+        args_json["whisper_dims"] = dict(whisper_dims)
+        embed_dim = whisper_dims["n_audio_state"]
+    else:
+        embed_dim = WHISPER_DIM[whisper_model]
+    save_json(os.path.join(out_dir, "args.json"), args_json)
     save_json(os.path.join(out_dir, "model_args.json"), {
-        "embed_dim": {"tiny": 384, "base": 512, "small": 768, "medium": 1024,
-                      "large": 1280, "large-v2": 1280}[whisper_model],
+        "embed_dim": embed_dim,
         "hidden_dim": 384, "output_dim": output_dim, "bidirectional": True,
         "freeze_encoder": False, "train_alignment": True,
         "train_transcript": False})
@@ -152,18 +161,30 @@ def main(argv=None):
             src = args.pt
             ckpt_cfg, whisper_params = load_openai_checkpoint(src)
         name = match_whisper_size(ckpt_cfg)
+        dims = None
         if name is None:
-            raise SystemExit(
-                f"checkpoint architecture {_arch_dims(ckpt_cfg)} (audio "
-                "state/layers/heads, text state/layers/heads, vocab, mels) "
-                "matches no known whisper size — asymmetric variants "
-                "(distil-whisper, *.en vocab) cannot be stored under a "
-                "standard size name")
+            # asymmetric variants (distil-whisper's 2-layer decoder, *.en
+            # vocab 51864): store the full architecture in args.json
+            # instead of a size name — load_model_dir rebuilds from it
+            name = "custom"
+            dims = {
+                "n_mels": ckpt_cfg.n_mels, "n_vocab": ckpt_cfg.n_vocab,
+                "n_audio_ctx": ckpt_cfg.n_audio_ctx,
+                "n_audio_state": ckpt_cfg.n_audio_state,
+                "n_audio_head": ckpt_cfg.n_audio_head,
+                "n_audio_layer": ckpt_cfg.n_audio_layer,
+                "n_text_ctx": ckpt_cfg.n_text_ctx,
+                "n_text_state": ckpt_cfg.n_text_state,
+                "n_text_head": ckpt_cfg.n_text_head,
+                "n_text_layer": ckpt_cfg.n_text_layer,
+            }
         mcfg = build_model_config(
-            name, output_dim=21128 + (1 if args.use_ctc_loss else 0))
+            name, output_dim=21128 + (1 if args.use_ctc_loss else 0),
+            whisper_dims=dims)
         params = init_align_model(jax.random.PRNGKey(args.seed), mcfg)
         params["whisper"] = whisper_params
-        _write_model_dir(args.output_dir, name, args.use_ctc_loss, params, "best")
+        _write_model_dir(args.output_dir, name, args.use_ctc_loss, params,
+                         "best", whisper_dims=dims)
         print(f"imported {name} {src} -> {args.output_dir}/best_model")
         return 0
 

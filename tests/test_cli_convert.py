@@ -83,3 +83,46 @@ def test_import_openai_infers_size(tiny_model_dir, tmp_path):
         np.asarray(params["whisper"]["decoder"]["token_embedding"]))
     # head is random-init but correctly shaped for 21128-class output
     assert params2["align_head"]["fc"]["w"].shape[-1] == 21128
+
+
+def test_import_openai_custom_dims(tmp_path):
+    """Asymmetric backbones that match no size name (distil-whisper-style
+    2-layer decoder) import as whisper_model "custom" with the full
+    architecture persisted in args.json; load_model_dir rebuilds from it."""
+    import jax
+
+    from lyricalignment_tpu.models.whisper import WhisperConfig, encode_audio, init_whisper_params
+
+    cfg = WhisperConfig(n_mels=80, n_vocab=96, n_audio_ctx=40,
+                        n_audio_state=32, n_audio_head=4, n_audio_layer=2,
+                        n_text_ctx=12, n_text_state=32, n_text_head=4,
+                        n_text_layer=1)
+    wp = init_whisper_params(jax.random.PRNGKey(7), cfg)
+    sd_full = align_params_to_state_dict(
+        {"whisper": wp, "align_head": {"gru": {"layers": []},
+                                       "fc": {"w": np.zeros((1, 1)),
+                                              "b": np.zeros(1)}}},
+        n_audio_ctx=cfg.n_audio_ctx)
+    sd = {k[len("whisper_model."):]: torch.from_numpy(v)
+          for k, v in sd_full.items() if k.startswith("whisper_model.")}
+    dims = {"n_mels": 80, "n_vocab": 96, "n_audio_ctx": 40,
+            "n_audio_state": 32, "n_audio_head": 4, "n_audio_layer": 2,
+            "n_text_ctx": 12, "n_text_state": 32, "n_text_head": 4,
+            "n_text_layer": 1}
+    pt = str(tmp_path / "asym.pt")
+    torch.save({"dims": dims, "model_state_dict": sd}, pt)
+
+    out = str(tmp_path / "custom_dir")
+    assert convert_main(["import-openai", "--pt", pt, "--output-dir", out]) == 0
+    mcfg, params2, train_args = load_model_dir(out, "best")
+    assert train_args["whisper_model"] == "custom"
+    assert train_args["whisper_dims"]["n_text_layer"] == 1
+    assert mcfg.whisper.n_audio_layer == 2 and mcfg.whisper.n_text_layer == 1
+
+    rng = np.random.default_rng(3)
+    import jax.numpy as jnp
+
+    mel = jnp.asarray(rng.standard_normal((1, 80, 80)).astype(np.float32))
+    a = np.asarray(encode_audio(wp, cfg, mel))
+    b = np.asarray(encode_audio(params2["whisper"], mcfg.whisper, mel))
+    np.testing.assert_allclose(a, b, atol=1e-6)
