@@ -98,6 +98,11 @@ def parse_args():
                         "multitask + AdamW on one 16G chip)")
     p.add_argument("--bf16-adam-mu", action="store_true",
                    help="store Adam first moment in bf16")
+    p.add_argument("--fused-losses", action="store_true",
+                   help="fuse the 21129-class classifier into the align "
+                        "CE/CTC losses (chunked-logsumexp normaliser + "
+                        "label gathers): the [B,T,C] logit tensor never "
+                        "reaches HBM; numerics pinned == unfused")
     p.add_argument("--max-label-len", type=int, default=128)
     p.add_argument("--max-decoder-len", type=int, default=160)
     p.add_argument("--log-every", type=int, default=1,
@@ -159,6 +164,7 @@ def main():
         remat=args.remat, seed=args.seed,
         grad_accum_dtype=jax.numpy.bfloat16 if args.bf16_grad_accum else None,
         adam_mu_dtype=jax.numpy.bfloat16 if args.bf16_adam_mu else None,
+        fused_losses=args.fused_losses,
     )
 
     pcfg_train = PipelineConfig(

@@ -242,6 +242,11 @@ def _chunked_lse(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     ws = wp.reshape(f_dim, n, chunk).transpose(1, 0, 2)   # [n, F, chunk]
     bs = bp.reshape(n, chunk)
 
+    # jax.checkpoint: under autodiff (the fused TRAINING losses reuse this
+    # normaliser) the backward pass recomputes each chunk's [B, T, chunk]
+    # logits instead of storing them — without it the scan's residuals add
+    # up to the very logits tensor the fusion exists to avoid.
+    @jax.checkpoint
     def step(carry, wb):
         m, s = carry
         wc, bc = wb

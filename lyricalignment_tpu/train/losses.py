@@ -135,6 +135,159 @@ def frame_ce_loss_grouped(
     return word_loss + sil_loss
 
 
+# ---------------------------------------------------------------------------
+# Fused classifier->loss variants: take the PRE-classifier hidden states
+# (``align_head_hidden``) + the fc weights instead of [B, T, C] logits, so
+# the ~254 MB-per-microbatch logit tensor (and its gradient residuals)
+# never reaches HBM — the same TPU large-vocab trick as
+# ``ops.viterbi.viterbi_align_fused``. The class normaliser is an online
+# chunked logsumexp over fc weight columns (rematerialised in backward);
+# only the label columns are gathered. Numerically identical to the
+# unfused losses up to f32 reduction ordering (pinned in test_losses).
+# ---------------------------------------------------------------------------
+
+
+def _fc_cols(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+             cols: jnp.ndarray, per_frame: bool) -> jnp.ndarray:
+    """Logits of selected fc columns via a weight-ROW gather (major-dim
+    take on w.T). ``per_frame=True``: cols i32[B, T] (one class per frame,
+    CE) -> f32[B, T]. ``per_frame=False``: cols i32[B, N] (a per-sample
+    label list, CTC) -> f32[B, T, N]."""
+    wg = jnp.take(w.T, cols, axis=0)                       # [B, ..., F]
+    bg = jnp.take(b, cols, axis=0)                         # [B, ...]
+    if per_frame:
+        return jnp.sum(h * wg, axis=-1) + bg
+    return jnp.einsum("btf,bnf->btn", h, wg) + bg[:, None, :]
+
+
+def frame_ce_loss_grouped_fused(
+    h: jnp.ndarray,             # f32[B, T, F] pre-classifier hidden
+    fc: dict,                   # {"w": [F, C], "b": [C]}
+    frame_labels: jnp.ndarray,  # i32[B, T_lab]
+    sample_mask: jnp.ndarray,   # bool[B]
+    with_silence_head: bool = False,
+    vocab_size: int = 21128,
+    chunk: int = 4224,
+) -> jnp.ndarray:
+    """``frame_ce_loss_grouped(h @ w + b, ...)`` without the logits."""
+    from lyricalignment_tpu.ops.viterbi import _chunked_lse
+
+    w, b = fc["w"], fc["b"]
+    frame_labels = _reconcile_label_length(frame_labels, h.shape[1])
+    valid = frame_labels != IGNORE_ID
+
+    if not with_silence_head:
+        safe = jnp.where(valid, frame_labels, 0)
+        lse = _chunked_lse(h, w, b, chunk)                 # [B, T]
+        nll = lse - _fc_cols(h, w, b, safe, per_frame=True)
+    else:
+        # word CE over channels [1, vocab): original label col == label
+        # (the unfused path slices [:, :, 1:vocab] and indexes label-1)
+        safe = jnp.clip(jnp.where(valid, frame_labels, 1), 1, vocab_size - 1)
+        lse = _chunked_lse(h, w[:, 1:vocab_size], b[1:vocab_size], chunk)
+        nll = lse - _fc_cols(h, w, b, safe, per_frame=True)
+
+    m = valid & sample_mask[:, None]
+    count = jnp.sum(m)
+    word_loss = jnp.where(
+        count > 0, jnp.sum(jnp.where(m, nll, 0.0)) / jnp.maximum(count, 1), 0.0)
+    if not with_silence_head:
+        return word_loss
+
+    silence_label = jnp.where(valid, 0.0, 1.0)
+    sil_logit = h @ w[:, vocab_size] + b[vocab_size]
+    per_elem = optax.sigmoid_binary_cross_entropy(sil_logit, silence_label)
+    sm = sample_mask[:, None]
+    scount = jnp.sum(sm) * sil_logit.shape[1]
+    sil_loss = jnp.where(
+        scount > 0,
+        jnp.sum(jnp.where(sm, per_elem, 0.0)) / jnp.maximum(scount, 1), 0.0)
+    return word_loss + sil_loss
+
+
+_CTC_NEG = -1.0e30
+
+
+def _lse3(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
+
+
+def _ctc_nll_single(blank_lp: jnp.ndarray,   # f32[T]
+                    label_lp: jnp.ndarray,   # f32[T, N] per label position
+                    labels: jnp.ndarray,     # i32[N] (clipped-safe values)
+                    valid_n: jnp.ndarray     # bool[N]
+                    ) -> jnp.ndarray:
+    """Standard CTC forward (log-space alpha recursion) on REDUCED
+    emissions — per-frame log-probs only for blank + the target's label
+    positions (the normaliser over the full vocab is already folded into
+    the log-probs). Full input length, as the reference passes
+    (`train_multitask.py:616-633`)."""
+    n = labels.shape[0]
+    s_dim = 2 * n + 1
+    state = jnp.arange(s_dim)
+    is_lab = (state % 2) == 1
+    pos = jnp.clip(state // 2, 0, n - 1)
+
+    # emissions per (t, state); invalid label positions are unreachable
+    em = jnp.where(is_lab[None, :],
+                   label_lp[:, pos],
+                   blank_lp[:, None])
+    em = jnp.where(is_lab[None, :] & ~valid_n[pos][None, :], _CTC_NEG, em)
+
+    prev_pos = jnp.clip(pos - 1, 0, n - 1)
+    can_skip = is_lab & (state >= 3) & (labels[pos] != labels[prev_pos])
+
+    def shift(v, k):
+        return jnp.concatenate([jnp.full((k,), _CTC_NEG, v.dtype), v[:-k]])
+
+    alpha0 = jnp.full((s_dim,), _CTC_NEG, jnp.float32)
+    alpha0 = alpha0.at[0].set(em[0, 0])
+    alpha0 = alpha0.at[1].set(em[0, 1])
+
+    def step(alpha, em_t):
+        skip = jnp.where(can_skip, shift(alpha, 2), _CTC_NEG)
+        alpha = em_t + _lse3(alpha, shift(alpha, 1), skip)
+        return alpha, None
+
+    alpha_t, _ = jax.lax.scan(step, alpha0, em[1:])
+    tlen = jnp.sum(valid_n)
+    end_lab = alpha_t[jnp.maximum(2 * tlen - 1, 0)]
+    end_blank = alpha_t[2 * tlen]
+    m = jnp.maximum(end_lab, end_blank)
+    return -(m + jnp.log(jnp.exp(end_lab - m) + jnp.exp(end_blank - m)))
+
+
+def ctc_loss_grouped_fused(
+    h: jnp.ndarray,            # f32[B, T, F]
+    fc: dict,                  # {"w": [F, C], "b": [C]}
+    labels: jnp.ndarray,       # i32[B, N] left-packed, -100 padded
+    sample_mask: jnp.ndarray,  # bool[B]
+    vocab_size: int = 21128,
+    chunk: int = 4224,
+) -> jnp.ndarray:
+    """``ctc_loss_grouped(logits[..., :vocab_size], ...)`` without the
+    logits: log-probs are (gathered column logits - chunked lse over the
+    vocab columns), and the alpha recursion runs on the reduced
+    [T, blank + N] emission set (CTC only ever reads those columns)."""
+    from lyricalignment_tpu.ops.viterbi import _chunked_lse
+
+    w, b = fc["w"], fc["b"]
+    valid_n = labels != IGNORE_ID
+    safe = jnp.where(valid_n, labels, 0)
+
+    lse = _chunked_lse(h, w[:, :vocab_size], b[:vocab_size], chunk)  # [B, T]
+    blank_lp = (h @ w[:, 0] + b[0]) - lse
+    label_lp = _fc_cols(h, w, b, safe, per_frame=False) - lse[..., None]              # [B, T, N]
+
+    per_example = jax.vmap(_ctc_nll_single)(blank_lp, label_lp, safe, valid_n)
+    target_len = jnp.maximum(jnp.sum(valid_n, axis=1), 1)
+    per_example = per_example / target_len
+    count = jnp.sum(sample_mask)
+    total = jnp.sum(jnp.where(sample_mask, per_example, 0.0))
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+
 def ctc_loss_grouped(
     logits: jnp.ndarray,
     labels: jnp.ndarray,

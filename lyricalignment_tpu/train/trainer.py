@@ -31,7 +31,9 @@ from lyricalignment_tpu.models.align_model import (
 )
 from lyricalignment_tpu.train.losses import (
     ctc_loss_grouped,
+    ctc_loss_grouped_fused,
     frame_ce_loss_grouped,
+    frame_ce_loss_grouped_fused,
     masked_ce_grouped,
 )
 from lyricalignment_tpu.train.schedule import make_optimizer
@@ -55,6 +57,11 @@ class TrainConfig:
     # micro-steps anyway) and/or bf16 Adam mu buy back ~3GB
     grad_accum_dtype: Any = None     # None = f32; jnp.bfloat16 to halve accum
     adam_mu_dtype: Any = None        # None = f32; jnp.bfloat16 halves mu
+    # fuse the 21129-class classifier into the align CE/CTC losses: the
+    # [B, T, C] logit tensor (~254 MB per micro-batch at medium, plus its
+    # gradient residuals) never reaches HBM — chunked-logsumexp normaliser
+    # + label-column gathers, same trick as viterbi_align_fused
+    fused_losses: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -95,7 +102,8 @@ def multitask_losses(
     ``encode_fn`` / ``decode_fn`` optionally replace the encoder and the
     teacher-forced decoder (pipeline parallelism: ``parallel.pipeline
     .make_pipeline_encode_fn`` / ``make_pipeline_logits_fn``)."""
-    align_logits, trans_logits = forward_from_audio(
+    fused = tcfg.fused_losses and mcfg.train_alignment
+    align_out, trans_logits = forward_from_audio(
         params, mcfg, batch["audio"],
         y_in=batch["decoder_input"] if (mcfg.train_transcript and allow_transcript) else None,
         trim_to_input_length=False,
@@ -103,6 +111,7 @@ def multitask_losses(
         remat=tcfg.remat,
         encode_fn=encode_fn,
         decode_fn=decode_fn,
+        align_head_output="hidden" if fused else "logits",
     )
 
     align_mask = batch["has_alignment"]
@@ -110,20 +119,36 @@ def multitask_losses(
     zero = jnp.zeros((), jnp.float32)
 
     align_ce = align_ctc = trans_ce = trans_ctc = zero
-    if mcfg.train_alignment:
+    if mcfg.train_alignment and fused:
+        fc = params["align_head"]["fc"]
+        align_ce = frame_ce_loss_grouped_fused(
+            align_out, fc, batch["frame_labels"], align_mask,
+            with_silence_head=tcfg.use_ctc, vocab_size=tcfg.vocab_size,
+        )
+        if tcfg.use_ctc:
+            align_ctc = ctc_loss_grouped_fused(
+                align_out, fc, batch["ctc_labels"], align_mask,
+                vocab_size=tcfg.vocab_size,
+            )
+            if allow_transcript:
+                trans_ctc = ctc_loss_grouped_fused(
+                    align_out, fc, batch["ctc_labels"], trans_mask,
+                    vocab_size=tcfg.vocab_size,
+                )
+    elif mcfg.train_alignment:
         align_ce = frame_ce_loss_grouped(
-            align_logits, batch["frame_labels"], align_mask,
+            align_out, batch["frame_labels"], align_mask,
             with_silence_head=tcfg.use_ctc, vocab_size=tcfg.vocab_size,
         )
         if tcfg.use_ctc:
             align_ctc = ctc_loss_grouped(
-                align_logits[:, :, : tcfg.vocab_size], batch["ctc_labels"], align_mask,
+                align_out[:, :, : tcfg.vocab_size], batch["ctc_labels"], align_mask,
             )
             if allow_transcript:
                 # the reference also applies CTC to transcript-only samples
                 # (`train_multitask.py:312-315`)
                 trans_ctc = ctc_loss_grouped(
-                    align_logits[:, :, : tcfg.vocab_size], batch["ctc_labels"], trans_mask,
+                    align_out[:, :, : tcfg.vocab_size], batch["ctc_labels"], trans_mask,
                 )
 
     if mcfg.train_transcript and allow_transcript and trans_logits is not None:

@@ -99,3 +99,97 @@ def test_transcript_ce_is_masked_ce(rng):
     a = float(transcript_ce_loss(jnp.asarray(logits), jnp.asarray(targets)))
     b_ = float(masked_ce(jnp.asarray(logits), jnp.asarray(targets)))
     assert a == b_
+
+
+# ---------------------------------------------------------------------------
+# Fused classifier->loss parity: values AND gradients must match the
+# unfused path applied to h @ w + b (up to f32 reduction ordering).
+# ---------------------------------------------------------------------------
+
+
+def _fused_setup(rng, b=2, t=12, f=8, c=17):
+    import jax
+
+    h = jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32))
+    fc = {"w": jnp.asarray(rng.standard_normal((f, c)).astype(np.float32)),
+          "b": jnp.asarray(rng.standard_normal((c,)).astype(np.float32))}
+    return jax, h, fc
+
+
+@pytest.mark.parametrize("silence_head", [False, True])
+def test_fused_frame_ce_matches_unfused(rng, silence_head):
+    from lyricalignment_tpu.train.losses import (
+        frame_ce_loss_grouped, frame_ce_loss_grouped_fused)
+
+    vocab = 16  # head output dim 17 = vocab + silence channel
+    jax, h, fc = _fused_setup(rng, c=17)
+    lo = 1 if silence_head else 0
+    labels = rng.integers(lo, vocab, (2, 12)).astype(np.int64)
+    labels[0, 3:5] = -100
+    labels[1, 0] = -100
+    labels = jnp.asarray(labels.astype(np.int32))
+    mask = jnp.asarray([True, True])
+
+    def unfused(h, fc):
+        logits = h @ fc["w"] + fc["b"]
+        return frame_ce_loss_grouped(logits, labels, mask,
+                                     with_silence_head=silence_head,
+                                     vocab_size=vocab)
+
+    def fused(h, fc):
+        return frame_ce_loss_grouped_fused(h, fc, labels, mask,
+                                           with_silence_head=silence_head,
+                                           vocab_size=vocab, chunk=5)
+
+    v_u, g_u = jax.value_and_grad(unfused, argnums=(0, 1))(h, fc)
+    v_f, g_f = jax.value_and_grad(fused, argnums=(0, 1))(h, fc)
+    np.testing.assert_allclose(float(v_f), float(v_u), rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_u), jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_ctc_matches_optax(rng):
+    from lyricalignment_tpu.train.losses import (
+        ctc_loss_grouped, ctc_loss_grouped_fused)
+
+    vocab = 16
+    jax, h, fc = _fused_setup(rng, t=14, c=17)
+    # repeated labels included: exercises the no-skip transition rule
+    labels = np.asarray([[3, 3, 7, 2, -100], [5, 1, -100, -100, -100]],
+                        np.int32)
+    labels = jnp.asarray(labels)
+    mask = jnp.asarray([True, True])
+
+    def unfused(h, fc):
+        logits = h @ fc["w"] + fc["b"]
+        return ctc_loss_grouped(logits[:, :, :vocab], labels, mask)
+
+    def fused(h, fc):
+        return ctc_loss_grouped_fused(h, fc, labels, mask, vocab_size=vocab,
+                                      chunk=5)
+
+    v_u, g_u = jax.value_and_grad(unfused, argnums=(0, 1))(h, fc)
+    v_f, g_f = jax.value_and_grad(fused, argnums=(0, 1))(h, fc)
+    np.testing.assert_allclose(float(v_f), float(v_u), rtol=1e-4, atol=1e-5)
+    # fc grads: the unfused path has no gradient into the silence column
+    # (sliced off) and neither does the fused one (never touched)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_u), jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_fused_ctc_group_mask_and_empty_group(rng):
+    from lyricalignment_tpu.train.losses import (
+        ctc_loss_grouped, ctc_loss_grouped_fused)
+
+    vocab = 16
+    jax, h, fc = _fused_setup(rng, t=10, c=17)
+    labels = jnp.asarray(np.asarray([[2, 9, -100], [4, -100, -100]], np.int32))
+    logits = h @ fc["w"] + fc["b"]
+    for mask in ([True, False], [False, False]):
+        m = jnp.asarray(mask)
+        v_u = float(ctc_loss_grouped(logits[:, :, :vocab], labels, m))
+        v_f = float(ctc_loss_grouped_fused(h, fc, labels, m, vocab_size=vocab,
+                                           chunk=5))
+        np.testing.assert_allclose(v_f, v_u, rtol=1e-4, atol=1e-6)

@@ -163,3 +163,32 @@ def test_sequence_parallel_encoder_matches_single_device(mcfg, rng):
                                            sequence_sharding=seq_sh))
     got = np.asarray(sp(sharded_params["whisper"], mel))
     np.testing.assert_allclose(got, base, atol=2e-4, rtol=1e-4)
+
+
+def test_fused_losses_train_step_matches_unfused(mcfg, tcfg, rng):
+    """tcfg.fused_losses changes only the HBM layout of the align losses
+    (classifier folded into chunked-lse + gathers): one full accumulated
+    train step must produce the same losses and parameters."""
+    import dataclasses as dc
+
+    params = init_align_model(jax.random.PRNGKey(0), mcfg)
+    batch = jax.tree_util.tree_map(jnp.asarray, make_batch(rng, accum=2))
+
+    outs = {}
+    for fused in (False, True):
+        t = dc.replace(tcfg, fused_losses=fused)
+        # the jitted step donates its input state: give each arm its own copy
+        state, tx = init_train_state(
+            jax.tree_util.tree_map(jnp.array, params), t)
+        step_fn = make_train_step(mcfg, t, tx)
+        new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        outs[fused] = (new_state, metrics)
+
+    m_u, m_f = outs[False][1], outs[True][1]
+    for k in ("total", "align_ce", "align_ctc", "trans_ce", "trans_ctc"):
+        np.testing.assert_allclose(float(m_f[k]), float(m_u[k]),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[False][0].params),
+                    jax.tree_util.tree_leaves(outs[True][0].params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6)
