@@ -105,6 +105,19 @@ def match_whisper_size(ckpt_cfg):
                  if _arch_dims(c) == _arch_dims(ckpt_cfg)), None)
 
 
+def _size_aliases(name):
+    """Other WHISPER_CONFIGS names with the identical architecture (large
+    and large-v2 share every dim, so a large-v2 checkpoint is stored under
+    the first match, "large" — functionally identical; the import message
+    surfaces the aliasing so the stored name isn't mistaken for source
+    fidelity — ADVICE r4)."""
+    from lyricalignment_tpu.models.whisper import WHISPER_CONFIGS
+
+    dims = _arch_dims(WHISPER_CONFIGS[name])
+    return [n for n, c in WHISPER_CONFIGS.items()
+            if n != name and _arch_dims(c) == dims]
+
+
 def _write_model_dir(out_dir, whisper_model, use_ctc, params, model_name,
                      whisper_dims=None):
     """``whisper_model`` is a WHISPER_CONFIGS name, or "custom" with
@@ -185,7 +198,14 @@ def main(argv=None):
         params["whisper"] = whisper_params
         _write_model_dir(args.output_dir, name, args.use_ctc_loss, params,
                          "best", whisper_dims=dims)
-        print(f"imported {name} {src} -> {args.output_dir}/best_model")
+        alias_note = ""
+        if name != "custom":
+            aliases = _size_aliases(name)
+            if aliases:
+                alias_note = (f" (architecture identical to "
+                              f"{'/'.join(aliases)}; stored as {name!r})")
+        print(f"imported {name} {src} -> {args.output_dir}/best_model"
+              f"{alias_note}")
         return 0
 
     if args.cmd == "export-hf":

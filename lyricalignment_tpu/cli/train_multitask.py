@@ -58,7 +58,8 @@ def parse_args():
     p.add_argument("--train-data", nargs="+", type=str, required=True)
     p.add_argument("--dev-data", nargs="+", type=str, required=True)
     p.add_argument("--whisper-model", default="medium",
-                   choices=["tiny", "base", "small", "medium", "large", "large-v2"])
+                   choices=["tiny", "base", "small", "medium", "large",
+                            "large-v2", "large-v3", "large-v3-turbo"])
     p.add_argument("--train-alignment", action="store_true")
     p.add_argument("--train-transcript", action="store_true")
     p.add_argument("--is-mixture", type=int, choices=[0, 1, 2], default=0)

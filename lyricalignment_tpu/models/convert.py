@@ -273,9 +273,18 @@ def _load_hf_weight_files(path: str) -> Dict[str, Any]:
         from safetensors import safe_open
 
         out = {}
-        with safe_open(p, framework="np") as f:
-            for k in f.keys():
-                out[k] = f.get_tensor(k)
+        try:
+            with safe_open(p, framework="np") as f:
+                for k in f.keys():
+                    out[k] = f.get_tensor(k)
+        except (TypeError, ValueError):
+            # framework="np" cannot represent bf16 tensors (common in HF
+            # whisper fine-tunes); retry via torch, whose bf16 tensors
+            # `_np()` already widens to f32 (ADVICE r4)
+            out = {}
+            with safe_open(p, framework="pt") as f:
+                for k in f.keys():
+                    out[k] = f.get_tensor(k)
         return out
 
     def _torch_load(p):

@@ -28,11 +28,26 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def restore_pytree(path: str, template: Optional[Any] = None) -> Any:
+    """Restore a checkpoint dir to HOST numpy leaves.
+
+    Restoring to numpy (instead of letting orbax re-create jax.Arrays from
+    the shardings stored in the checkpoint) makes checkpoints portable
+    across topologies: a dir saved on a CPU host restores on a TPU host
+    and vice versa — orbax's default path errors when the stored sharding
+    names a device that doesn't exist here (e.g. ``TFRT_CPU_0`` on a TPU
+    backend). jit uploads the leaves on first use either way.
+    """
+    import jax
+
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
+    structure = (template if template is not None
+                 else ckptr.metadata(path).item_metadata)
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), structure)
     if template is not None:
-        return ckptr.restore(path, item=template)
-    return ckptr.restore(path)
+        return ckptr.restore(path, item=template, restore_args=restore_args)
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def save_json(path: str, obj: Dict) -> None:

@@ -252,7 +252,11 @@ def _ctc_nll_single(blank_lp: jnp.ndarray,   # f32[T]
 
     alpha_t, _ = jax.lax.scan(step, alpha0, em[1:])
     tlen = jnp.sum(valid_n)
-    end_lab = alpha_t[jnp.maximum(2 * tlen - 1, 0)]
+    # tlen==0 (all-padding target): the only end state is the first blank;
+    # without the guard both reads land on alpha_t[0] and the lse double
+    # counts it (-log 2 offset vs optax.ctc_loss — ADVICE r4)
+    end_lab = jnp.where(tlen > 0,
+                        alpha_t[jnp.maximum(2 * tlen - 1, 0)], _CTC_NEG)
     end_blank = alpha_t[2 * tlen]
     m = jnp.maximum(end_lab, end_blank)
     return -(m + jnp.log(jnp.exp(end_lab - m) + jnp.exp(end_blank - m)))

@@ -193,3 +193,22 @@ def test_fused_ctc_group_mask_and_empty_group(rng):
         v_f = float(ctc_loss_grouped_fused(h, fc, labels, m, vocab_size=vocab,
                                            chunk=5))
         np.testing.assert_allclose(v_f, v_u, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_ctc_empty_target(rng):
+    """An unmasked all-padding target (tlen==0) must match optax: the only
+    end state is the first blank; the pre-fix fused path read alpha_t[0]
+    as both end states (-log 2 offset — ADVICE r4)."""
+    from lyricalignment_tpu.train.losses import (
+        ctc_loss_grouped, ctc_loss_grouped_fused)
+
+    vocab = 16
+    jax, h, fc = _fused_setup(rng, t=10, c=17)
+    labels = jnp.asarray(
+        np.asarray([[-100, -100, -100], [4, 7, -100]], np.int32))
+    logits = h @ fc["w"] + fc["b"]
+    m = jnp.asarray([True, True])
+    v_u = float(ctc_loss_grouped(logits[:, :, :vocab], labels, m))
+    v_f = float(ctc_loss_grouped_fused(h, fc, labels, m, vocab_size=vocab,
+                                       chunk=5))
+    np.testing.assert_allclose(v_f, v_u, rtol=1e-4, atol=1e-6)
