@@ -8,6 +8,19 @@ substitution/insertion/deletion/correct counts.
 The PER phonemizer derives char -> pinyin from the shipped pronunciation
 table + a BERT vocab (pypinyin is not required); pass --bert-vocab for
 full coverage, or rely on passthrough for unknown characters.
+
+Closing the residual parity gaps with external assets (same policy as
+--bert-vocab / --whisper-bpe — zero egress ships no third-party data):
+
+* ``--pinyin-phrases phrases.json`` — heteronym phrase readings merged
+  over the embedded dict (``text.heteronyms``); with pypinyin's phrase
+  data the PER phoneme stream matches ``lazy_pinyin`` exactly.
+* ``--t2s-overrides t2s.json`` — extra traditional->simplified pairs
+  merged over the embedded table.
+* ``--strict-normalize`` — exit non-zero when any evaluated character has
+  neither a t2s entry nor a pronunciation-table reading (silent-divergence
+  candidates vs the reference's chinese_converter/pypinyin normalizer).
+  Without the flag such characters still WARN to stderr.
 """
 
 from __future__ import annotations
@@ -15,12 +28,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import List
+import sys
+from typing import Dict, List, Optional
 
 from lyricalignment_tpu.cli.common import add_asset_args
 from lyricalignment_tpu.text.bert_tokenizer import BertWordPieceTokenizer, make_synthetic_vocab
-from lyricalignment_tpu.text.normalize import normalize_for_eval
-from lyricalignment_tpu.text.pinyin import CharPhonemizer, load_pronunciation_table
+from lyricalignment_tpu.text.normalize import normalization_gaps, normalize_for_eval
+from lyricalignment_tpu.text.pinyin import (
+    CharPhonemizer, load_phrase_readings, load_pronunciation_table)
 from lyricalignment_tpu.utils.metrics import cer, per
 
 
@@ -29,19 +44,31 @@ def parse_args():
     p.add_argument("-f", "--result-file", type=str, required=True)
     p.add_argument("--ref-text-key", type=str, default="lyric")
     p.add_argument("--pred-text-key", type=str, default="inference")
+    p.add_argument("--pinyin-phrases", type=str, default=None,
+                   help="JSON {phrase: [syllable, ...]} heteronym readings, "
+                        "merged over the embedded dict (exact lazy_pinyin "
+                        "parity with pypinyin's phrase data)")
+    p.add_argument("--t2s-overrides", type=str, default=None,
+                   help="JSON {traditional: simplified} pairs merged over "
+                        "the embedded t2s table")
+    p.add_argument("--strict-normalize", action="store_true",
+                   help="exit non-zero if any evaluated character has "
+                        "neither a t2s entry nor a pronunciation-table "
+                        "reading (default: warn to stderr)")
     add_asset_args(p)
     return p.parse_args()
 
 
 def compute_cer(reference: List[str], prediction: List[str],
-                phonemize=None, is_per: bool = False):
+                phonemize=None, is_per: bool = False,
+                t2s_overrides: Optional[Dict[str, str]] = None):
     metric_name = "PER" if is_per else "CER"
     weighted = 0.0
     op_count = {"substitution": 0, "insertion": 0, "deletion": 0, "correct": 0}
 
     for ref, pred in zip(reference, prediction):
-        pred = normalize_for_eval(pred)
-        ref = normalize_for_eval(ref)
+        pred = normalize_for_eval(pred, t2s_overrides)
+        ref = normalize_for_eval(ref, t2s_overrides)
         if is_per:
             rate, nb = per(pred, ref, phonemize)
         else:
@@ -64,6 +91,32 @@ def compute_cer(reference: List[str], prediction: List[str],
     return weighted / len(reference), op_count
 
 
+def report_gaps(texts: List[str], phonemize: CharPhonemizer,
+                t2s_overrides: Optional[Dict[str, str]],
+                strict: bool) -> bool:
+    """Surface silent-divergence candidates (VERDICT r4 #6). Returns True
+    when any were found."""
+    gaps: Dict[str, int] = {}
+    for t in texts:
+        for ch, n in normalization_gaps(
+                normalize_for_eval(t, t2s_overrides),
+                has_reading=phonemize.knows).items():
+            gaps[ch] = gaps.get(ch, 0) + n
+    if not gaps:
+        return False
+    listing = " ".join(f"{ch}(x{n})" for ch, n in
+                       sorted(gaps.items(), key=lambda kv: -kv[1])[:20])
+    more = f" (+{len(gaps) - 20} more)" if len(gaps) > 20 else ""
+    print(f"# normalization: {sum(gaps.values())} character occurrence(s) "
+          f"with no t2s entry and no pronunciation-table reading: "
+          f"{listing}{more}\n"
+          f"# CER/PER may diverge from the reference's chinese_converter/"
+          f"pypinyin on these; extend coverage with --t2s-overrides / "
+          f"--pinyin-phrases / --bert-vocab",
+          file=sys.stderr)
+    return True
+
+
 def main():
     args = parse_args()
     assert os.path.exists(args.result_file)
@@ -78,10 +131,28 @@ def main():
         bert = BertWordPieceTokenizer(vocab_path=args.bert_vocab)
     else:
         bert = BertWordPieceTokenizer(vocab=make_synthetic_vocab(size=21128))
-    phonemize = CharPhonemizer(table, bert.char_to_id_map())
+    phrases = (load_phrase_readings(args.pinyin_phrases)
+               if args.pinyin_phrases else None)
+    phonemize = CharPhonemizer(table, bert.char_to_id_map(),
+                               phrase_readings=phrases)
+    t2s = None
+    if args.t2s_overrides:
+        from lyricalignment_tpu.text.normalize import load_t2s_overrides
+        t2s = load_t2s_overrides(args.t2s_overrides)
 
-    compute_cer(refs, preds)
-    compute_cer(refs, preds, phonemize=phonemize, is_per=True)
+    compute_cer(refs, preds, t2s_overrides=t2s)
+    compute_cer(refs, preds, phonemize=phonemize, is_per=True,
+                t2s_overrides=t2s)
+
+    # gap reporting needs real readings to be meaningful: under
+    # --synthetic-vocab (smoke mode) every character is "unanchored" and
+    # the warning would fire on all text — only report when a real vocab
+    # is loaded, or when the user explicitly asked for strictness
+    if args.bert_vocab or args.strict_normalize:
+        found = report_gaps(refs + preds, phonemize, t2s,
+                            args.strict_normalize)
+        if found and args.strict_normalize:
+            raise SystemExit(2)
 
 
 if __name__ == "__main__":

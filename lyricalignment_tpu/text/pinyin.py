@@ -117,6 +117,33 @@ def split_syllable(syllable: str) -> Tuple[str, str]:
     return (s, s)
 
 
+def load_phrase_readings(path: str) -> Dict[str, Tuple[str, ...]]:
+    """External heteronym phrase table, merged OVER the embedded dict.
+
+    JSON format: ``{"phrase": ["syl", "syl", ...], ...}`` — one toneless
+    syllable per character (pypinyin ``lazy_pinyin`` NORMAL style). A user
+    with pypinyin's phrase data (``pypinyin.phrases_dict``, toneless-ified)
+    reaches exact PER parity with the reference's ``lazy_pinyin``
+    (`utils/CER.py:79-95`) — the same external-asset policy as
+    ``--bert-vocab`` / ``--whisper-bpe`` (zero-egress environments ship no
+    third-party data). Pass the result as ``CharPhonemizer``'s
+    ``phrase_readings``.
+    """
+    from lyricalignment_tpu.text.heteronyms import HETERONYM_PHRASES
+
+    with open(path, "r", encoding="utf-8") as f:
+        user = json.load(f)
+    for phrase, readings in user.items():
+        if not isinstance(readings, (list, tuple)) or \
+                len(readings) != len(phrase):
+            raise ValueError(
+                f"phrase {phrase!r} needs exactly one syllable per "
+                f"character, got {readings!r}")
+    merged = dict(HETERONYM_PHRASES)
+    merged.update({p: tuple(r) for p, r in user.items()})
+    return merged
+
+
 class CharPhonemizer:
     """text -> toneless pinyin syllables, built from the pronunciation table
     plus a BERT-style vocab (token string -> id).
@@ -162,6 +189,12 @@ class CharPhonemizer:
             return ch
         py = self._table.token_pinyin[tid]
         return ch if py == "bad" else py
+
+    def knows(self, ch: str) -> bool:
+        """True when the character has a real table reading (i.e. the PER
+        phoneme stream for it is anchored to pypinyin's, rather than the
+        character passing through as an opaque symbol)."""
+        return self._char_reading(ch) != ch
 
     def __call__(self, text: str) -> List[str]:
         out: List[str] = []

@@ -49,3 +49,88 @@ def test_evaluate_empty_prediction_counts_deletions():
     rate, ops = compute_cer(["你好"], [""])
     assert rate == pytest.approx(1.0)
     assert ops["deletion"] == 2
+
+
+def test_pinyin_phrases_external_asset(tmp_path):
+    """--pinyin-phrases merge semantics (VERDICT r4 #5): user entries merge
+    OVER the embedded dict, adding new phrases and overriding existing
+    ones; a length-mismatched entry is rejected."""
+    from lyricalignment_tpu.text.heteronyms import HETERONYM_PHRASES
+    from lyricalignment_tpu.text.pinyin import load_phrase_readings
+
+    assert "银行" in HETERONYM_PHRASES  # embedded baseline
+    f = tmp_path / "phrases.json"
+    f.write_text(json.dumps({"行规": ["hang", "gui"],      # new phrase
+                             "银行": ["yin", "HANG"]},      # override
+                            ensure_ascii=False), encoding="utf-8")
+    merged = load_phrase_readings(str(f))
+    assert merged["行规"] == ("hang", "gui")
+    assert merged["银行"] == ("yin", "HANG")
+    assert merged["音乐"] == HETERONYM_PHRASES["音乐"]  # embedded kept
+
+    table = load_pronunciation_table()
+    vocab = {"行": table.pinyin_reverse["xing"][0],
+             "规": table.pinyin_reverse["gui"][0]}
+    base = CharPhonemizer(table, vocab)
+    assert base("行规") == ["xing", "gui"]  # off-dict fallback reading
+    ext = CharPhonemizer(table, vocab, phrase_readings=merged)
+    assert ext("行规") == ["hang", "gui"]  # external asset closes the gap
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"行规": ["hang"]}), encoding="utf-8")
+    with pytest.raises(ValueError):
+        load_phrase_readings(str(bad))
+
+
+def test_strict_normalize_flags_unanchored_chars(capsys):
+    """The warning fires on a rare traditional char with no t2s entry and
+    no table reading (VERDICT r4 #6)."""
+    from lyricalignment_tpu.cli.evaluate_transcript import report_gaps
+    from lyricalignment_tpu.text.normalize import normalization_gaps, to_simplified
+
+    rare = "龘"  # 龘 — no t2s entry, absent from the tiny test vocab
+    assert to_simplified(rare) == rare  # passes through unconverted
+
+    table = load_pronunciation_table()
+    vocab = {"你": table.pinyin_reverse["ni"][0],
+             "好": table.pinyin_reverse["hao"][0]}
+    phonemize = CharPhonemizer(table, vocab)
+    gaps = normalization_gaps("你好" + rare, has_reading=phonemize.knows)
+    assert gaps == {rare: 1}  # anchored chars not flagged
+
+    found = report_gaps(["你好" + rare + rare], phonemize, None, strict=False)
+    assert found
+    err = capsys.readouterr().err
+    assert rare in err and "x2" in err
+
+    # without reading info (postprocess), main-block chars never flagged;
+    # rare-block ideographs are
+    assert normalization_gaps("你好" + rare) == {}
+    assert normalization_gaps("㐀") == {"㐀": 1}
+
+
+def test_postprocess_strict_normalize(tmp_path, monkeypatch, capsys):
+    f = tmp_path / "r.json"
+    f.write_text(json.dumps([{"inference": "愛㐀"}], ensure_ascii=False),
+                 encoding="utf-8")
+    monkeypatch.setattr(sys, "argv", ["pp", "-f", str(f), "--strict-normalize"])
+    with pytest.raises(SystemExit) as e:
+        pp_cli.main()
+    assert e.value.code == 2
+    assert "㐀" in capsys.readouterr().err
+    # conversion still happened before the strict exit
+    assert json.loads(f.read_text(encoding="utf-8"))[0]["inference"].startswith("爱")
+
+
+def test_t2s_overrides_flag(tmp_path, monkeypatch):
+    f = tmp_path / "r.json"
+    f.write_text(json.dumps([{"inference": "㐀好"}], ensure_ascii=False),
+                 encoding="utf-8")
+    ov = tmp_path / "t2s.json"
+    ov.write_text(json.dumps({"㐀": "一"}, ensure_ascii=False),
+                  encoding="utf-8")
+    monkeypatch.setattr(sys, "argv", ["pp", "-f", str(f),
+                                      "--t2s-overrides", str(ov),
+                                      "--strict-normalize"])
+    pp_cli.main()  # override closes the gap: no SystemExit
+    assert json.loads(f.read_text(encoding="utf-8"))[0]["inference"] == "一好"
