@@ -173,13 +173,18 @@ def bench_transcribe(model_name, batch, iters, clip_seconds, beam_size=5,
     # HBM traffic of every step regardless of compute_dtype
     dparams = _bf16_resident(params["whisper"])
 
+    # K-grouped decode loop (BENCH_DECODE_GROUP): K decode steps per
+    # while_loop iteration, token-for-token identical (see decode.beam)
+    group = int(os.environ.get("BENCH_DECODE_GROUP", "1"))
+
     @jax.jit
     def transcribe_batch(dparams, audio):
         mel = pad_or_trim(log_mel(audio), N_FRAMES)
         xa = encode_audio(dparams, mcfg.whisper, mel)
         toks, _ = beam_search(dparams, mcfg.whisper, xa, prompt,
                               beam_size=beam_size,
-                              max_new_tokens=max_new_tokens, eot=wt.eot)
+                              max_new_tokens=max_new_tokens, eot=wt.eot,
+                              group=group)
         return toks
 
     rng = np.random.default_rng(0)
@@ -208,11 +213,16 @@ def bench_train(model_name, iters, clip_seconds):
     params = init_align_model(jax.random.PRNGKey(0), mcfg_t)
     n_samples = int(clip_seconds * 16000)
     # medium at the reference recipe fits HBM without rematerialisation and
-    # runs ~17% faster; BENCH_TRAIN_REMAT=1 for larger models/batches
+    # runs ~17% faster; BENCH_TRAIN_REMAT=1 for larger models/batches.
+    # fused classifier->losses is the default (BENCH_TRAIN_FUSED=0 reverts):
+    # measured +1.0% same-day sequential A/B at the reference recipe
+    # (407.9/407.7 vs 403.4/403.4 audio-s/s, losses equal to 4 decimals)
+    # and it frees the ~254 MB/microbatch f32 loss logits (PARITY.md)
     remat = os.environ.get("BENCH_TRAIN_REMAT", "0") != "0"
+    fused = os.environ.get("BENCH_TRAIN_FUSED", "1") != "0"
     tcfg = TrainConfig(accum_grad_steps=8, use_ctc=True, vocab_size=21128,
                        remat=remat, grad_accum_dtype=jnp.bfloat16,
-                       adam_mu_dtype=jnp.bfloat16)
+                       adam_mu_dtype=jnp.bfloat16, fused_losses=fused)
     state, tx = init_train_state(params, tcfg)
     step_fn = make_train_step(mcfg_t, tcfg, tx)
     tb = 2  # reference recipe: batch 2 x accum 8
@@ -278,12 +288,15 @@ def bench_longform(model_name, seconds, iters, beam_size=5,
     loops in lockstep through ``transcribe_longform_batched`` — the round-3
     serving operating point, where every window round is ONE batched
     decode. BENCH_LONGFORM_BATCH=1 measures the single-song loop (the
-    round-2 number's semantics). BENCH_LONGFORM_SONGS (default 3x batch)
-    sizes the song queue: more songs than batch slots measures STEADY-STATE
-    serving, where queued songs' mel uploads prefetch asynchronously and
-    overlap the current rounds' decode instead of serializing in front of
-    it (the remote-tunnel host->device link is ~17 MB/s; on a directly
-    attached host the upload term vanishes entirely)."""
+    round-2 number's semantics). BENCH_LONGFORM_SONGS (default 3x batch
+    per group) sizes the song queue: more songs than batch slots measures
+    STEADY-STATE serving, where queued songs' mel uploads prefetch
+    asynchronously and overlap the current rounds' decode instead of
+    serializing in front of it (the remote-tunnel host->device link is
+    ~17 MB/s; on a directly attached host the upload term vanishes
+    entirely). BENCH_LONGFORM_GROUPS (default 2) runs that many
+    round-robin lockstep groups of ``batch`` slots each, hiding per-round
+    host bookkeeping + dispatch behind the other group's device time."""
     import jax
 
     from lyricalignment_tpu.decode.longform import (
@@ -295,8 +308,10 @@ def bench_longform(model_name, seconds, iters, beam_size=5,
 
     if batch is None:
         batch = int(os.environ.get("BENCH_LONGFORM_BATCH", "8"))
+    groups = int(os.environ.get("BENCH_LONGFORM_GROUPS", "2"))
     n_songs = int(os.environ.get(
-        "BENCH_LONGFORM_SONGS", str(3 * batch if batch > 1 else 1)))
+        "BENCH_LONGFORM_SONGS",
+        str(3 * batch * groups if batch > 1 else 1)))
     mcfg = _mcfg(model_name)
     params = init_align_model(jax.random.PRNGKey(0), mcfg)
     params["whisper"] = _bf16_resident(params["whisper"])
@@ -316,7 +331,7 @@ def bench_longform(model_name, seconds, iters, beam_size=5,
         if batch > 1:
             return transcribe_longform_batched(
                 params["whisper"], mcfg.whisper, staged, tok,
-                batch_size=batch,
+                batch_size=batch, overlap_groups=groups,
                 beam_size=beam_size, temperatures=(0.0,),
                 max_new_tokens=max_new_tokens,
                 compression_ratio_threshold=1e9, logprob_threshold=-1e9,

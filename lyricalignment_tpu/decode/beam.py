@@ -118,13 +118,24 @@ def greedy_loop(
     process: Processor,
     max_new_tokens: int,
     eot: int,
+    group: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode from a primed cache.
+
+    ``group`` unrolls that many decode steps inside each ``while_loop``
+    iteration, amortizing the loop's fixed per-iteration cost (the decode
+    loop is bound by per-op/iteration overhead, not HBM traffic — PARITY
+    "decode investigation"); the EOT check runs once per group, so up to
+    ``group - 1`` masked-out steps run past completion. Token-for-token
+    identical to ``group=1``: done rows emit eot with 0 logprob, and a
+    scalar ``i < max_new_tokens`` guard freezes the carried stats on
+    overshoot sub-steps (their out-of-range token writes drop).
 
     Returns (tokens i32[B, max_new_tokens] eot-padded, sum_logprob f32[B]).
     """
     b = logits0.shape[0]
-    out0 = jnp.full((b, max_new_tokens), eot, jnp.int32)
+    t = max_new_tokens
+    out0 = jnp.full((b, t), eot, jnp.int32)
 
     def pick(logits, gen, i, done):
         l = process(logits, gen, i)
@@ -139,15 +150,20 @@ def greedy_loop(
 
     def cond(state):
         i, _, _, done, _, _ = state
-        return (i < max_new_tokens) & ~jnp.all(done)
+        return (i < t) & ~jnp.all(done)
 
-    def body(state):
+    def step_once(state):
         i, tok, cache, done, out, sum_lp = state
         logits, cache = decode_step(params, cfg, tok, cache)
-        nxt, lp = pick(logits, out, i, done)
-        out = out.at[:, i].set(nxt)
+        nxt, lp = pick(logits, out, i, done | (i >= t))
+        out = out.at[:, i].set(nxt)          # i >= t: dropped write
         done = done | (nxt == eot)
         return i + 1, nxt[:, None], cache, done, out, sum_lp + lp
+
+    def body(state):
+        for _ in range(group):
+            state = step_once(state)
+        return state
 
     state = (jnp.asarray(1), first[:, None], cache, done0, out0, lp0)
     _, _, _, _, out, sum_lp = jax.lax.while_loop(cond, body, state)
@@ -185,11 +201,19 @@ def beam_loop(
     eot: int,
     length_penalty: Optional[float] = None,
     patience: Optional[float] = None,
+    group: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam search from a primed cache, token-for-token equivalent to
     whisper's BeamSearchDecoder + MaximumLikelihoodRanker (the decode engine
     behind the reference's ``model.transcribe(..., beam_size=5)``,
     `inference_transcript.py:88-91`).
+
+    ``group`` unrolls that many decode steps per ``while_loop`` iteration
+    (see ``greedy_loop``): the early-exit check runs once per group, the
+    completed-sample freeze makes post-completion sub-steps no-ops, and a
+    scalar ``i < max_new_tokens`` guard keeps overshoot sub-steps from
+    touching the finished set — results are token-for-token equal to
+    ``group=1``.
 
     Semantics pinned against an independent numpy oracle
     (tests/test_beam_oracle.py):
@@ -317,10 +341,11 @@ def beam_loop(
         fin_cnt = state[-2]
         return (i < t) & ~jnp.all(fin_cnt >= n_cand)
 
-    def body(state):
+    def step_once(state):
         (i, tok, cache, sum_lp, tokens,
          fin_tok, fin_score, fin_ntext, fin_cnt, i_done) = state
-        was_done = fin_cnt >= n_cand                              # [B]
+        valid = i < t               # scalar: False only on group overshoot
+        was_done = (fin_cnt >= n_cand) | ~valid                   # [B]
         logits, cache = decode_step(params, cfg, tok, cache)
         logp = jax.nn.log_softmax(process(logits, tokens, i), axis=-1)   # [B*k, V]
         row_lp, row_tok = jax.lax.top_k(logp, k + 1)             # [B*k, k+1]
@@ -329,12 +354,19 @@ def beam_loop(
         cand_src = jnp.broadcast_to(
             jnp.repeat(jnp.arange(k), k + 1)[None, :], (b, k * (k + 1)))
 
-        (new_lp, new_tok, new_src, fin_tok, fin_score, fin_ntext, fin_cnt) = select(
+        (new_lp, new_tok, new_src, n_fin_tok, n_fin_score, n_fin_ntext,
+         n_fin_cnt) = select(
             i, cand_lp, cand_tok, cand_src, tokens.reshape(b, k, t),
             fin_tok, fin_score, fin_ntext, fin_cnt)
+        # overshoot sub-steps (i >= t after the while cond last held) must
+        # not touch the finished set; completed samples' fin writes are
+        # already no-ops (the slot < n_cand cap)
+        fin_tok = jnp.where(valid, n_fin_tok, fin_tok)
+        fin_score = jnp.where(valid, n_fin_score, fin_score)
+        fin_ntext = jnp.where(valid, n_fin_ntext, fin_ntext)
+        fin_cnt = jnp.where(valid, n_fin_cnt, fin_cnt)
 
-        # freeze completed samples (fin writes are already a no-op for them:
-        # the slot < n_cand cap): live scores/tokens/cache rows keep the
+        # freeze completed samples: live scores/tokens/cache rows keep the
         # state they had when the sample completed
         new_lp = jnp.where(was_done[:, None], sum_lp.reshape(b, k), new_lp)
         new_tok = jnp.where(was_done[:, None], eot, new_tok)
@@ -346,6 +378,11 @@ def beam_loop(
         tokens = tokens[src].at[:, i].set(new_tok.reshape(-1))
         return (i + 1, new_tok.reshape(-1, 1), cache, new_lp.reshape(-1),
                 tokens, fin_tok, fin_score, fin_ntext, fin_cnt, i_done)
+
+    def body(state):
+        for _ in range(group):
+            state = step_once(state)
+        return state
 
     state = (jnp.asarray(1), tokens[:, 0:1], cache, sum_lp, tokens,
              fin_tok, fin_score, fin_ntext, fin_cnt, i_done)
@@ -459,7 +496,8 @@ def _check_context(cfg: WhisperConfig, prompt_len: int, max_new_tokens: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "max_new_tokens", "eot", "suppress_ids", "begin_suppress_ids"))
+    "cfg", "max_new_tokens", "eot", "suppress_ids", "begin_suppress_ids",
+    "group"))
 def greedy_decode(
     params: Dict,
     cfg: WhisperConfig,
@@ -469,6 +507,7 @@ def greedy_decode(
     eot: int = 50257,
     suppress_ids: tuple = (),
     begin_suppress_ids: tuple = (),
+    group: int = 1,
 ) -> jnp.ndarray:
     """Returns i32[B, max_new_tokens], eot-padded after completion."""
     _check_context(cfg, prompt.shape[1], max_new_tokens)
@@ -476,13 +515,14 @@ def greedy_decode(
                               prompt.shape[1], max_new_tokens)
     logits, _, cache = prime_decode_cache(params, cfg, prompt, cache)
     process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids)
-    out, _ = greedy_loop(params, cfg, logits, cache, process, max_new_tokens, eot)
+    out, _ = greedy_loop(params, cfg, logits, cache, process, max_new_tokens,
+                         eot, group=group)
     return out
 
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "beam_size", "max_new_tokens", "eot", "suppress_ids",
-    "begin_suppress_ids", "length_penalty", "patience"))
+    "begin_suppress_ids", "length_penalty", "patience", "group"))
 def beam_search(
     params: Dict,
     cfg: WhisperConfig,
@@ -495,6 +535,7 @@ def beam_search(
     begin_suppress_ids: tuple = (),
     length_penalty: Optional[float] = None,
     patience: Optional[float] = None,
+    group: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched beam search.
 
@@ -512,4 +553,4 @@ def beam_search(
     logits = jnp.repeat(logits, k, axis=0)
     process = make_processor(cfg, eot, suppress_ids, begin_suppress_ids)
     return beam_loop(params, cfg, logits, cache, process, k, max_new_tokens,
-                     eot, length_penalty, patience)
+                     eot, length_penalty, patience, group=group)

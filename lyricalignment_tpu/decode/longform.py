@@ -414,6 +414,7 @@ def transcribe_longform_batched(
     no_speech_threshold: float = NO_SPEECH_THRESHOLD,
     seed: int = 0,
     verbose: bool = False,
+    overlap_groups: int = 1,
 ) -> List[Dict]:
     """Transcribe MANY long songs in lockstep: one batched decode per round.
 
@@ -428,11 +429,21 @@ def transcribe_longform_batched(
     hand their batch slot to the next queued song (continuous batching), so
     the device batch stays full until the work queue drains.
 
+    ``overlap_groups=G`` runs G independent lockstep groups of
+    ``batch_size`` slots each, round-robin: while group A's decode runs on
+    device, the host fetches, gates, and re-dispatches group B (and vice
+    versa), hiding the per-round host bookkeeping + dispatch latency behind
+    the other group's device time — a round's windows/prompts depend on its
+    own previous round's text (whisper's conditioned prompts), so the
+    overlap must come from INDEPENDENT songs, not from pipelining one
+    group. Per-song results are identical for any G (rows are
+    batch-independent); only the song -> slot assignment order changes.
+
     Per-row semantics (prompts, timestamp rules, temperature fallback,
     no-speech gate, seek arithmetic) are token-for-token those of
     ``transcribe_longform`` for the deterministic temperatures; sampled
     fallback retries (temperature > 0) draw from a batch-shared RNG stream
-    keyed on (seed, temperature, round) instead of the single-song
+    keyed on (seed, temperature, group round) instead of the single-song
     (seed, temperature, seek) stream, so individual sampled retries may
     differ — both are valid whisper behavior.
 
@@ -448,6 +459,7 @@ def transcribe_longform_batched(
 
     n_songs = len(audios)
     bsz = batch_size if batch_size is not None else min(8, max(n_songs, 1))
+    n_groups = max(1, overlap_groups)
     results: List[Optional[Dict]] = [None] * n_songs
     queue = list(range(n_songs))
 
@@ -460,98 +472,151 @@ def transcribe_longform_batched(
     # overlaps their host->device transfer with the current rounds' decode
     # — at steady state the link and the chip run concurrently
     prefetched: Dict[int, Dict] = {}
-    n_prefetch = 2
+    n_prefetch = 2 * n_groups
 
     def _take_next() -> Dict:
         idx = queue.pop(0)
         return prefetched.pop(idx, None) or _load(idx)
 
-    slots: List[Optional[Dict]] = [
-        _take_next() if queue else None for _ in range(bsz)]
-    round_idx = 0
-
     zero_win = jnp.zeros((cfg.n_mels, N_FRAMES), jnp.float32)  # idle slots
-    while any(s is not None for s in slots):
-        for idx in queue[:n_prefetch]:
-            if idx not in prefetched:
-                prefetched[idx] = _load(idx)
-        wins: List[jnp.ndarray] = [zero_win] * bsz
-        seg_sizes = [0] * bsz
-        buf = np.full((bsz, p_max), eot, np.int32)
-        lengths = np.full((bsz,), len(sot_seq), np.int32)
-        sots = np.zeros((bsz,), np.int32)
-        for i, st in enumerate(slots):
-            if st is None:
-                buf[i, : len(sot_seq)] = sot_seq
-                continue
-            seg_sizes[i] = min(N_FRAMES, st["frames"] - st["seek"])
-            # device-side slice of the device-resident mel: no mel download,
-            # no per-round window re-upload over the tunnel
-            wins[i] = _gather_window(st["mel"], jnp.asarray(st["seek"], jnp.int32))
-            ptoks = _conditioned_prompt(tokenizer, sot_seq, st,
-                                        condition_on_previous_text, max_prev)
-            buf[i, : len(ptoks)] = ptoks
-            lengths[i] = len(ptoks)
-            sots[i] = len(ptoks) - len(sot_seq)
-        xa = _encode(params, cfg, jnp.stack(wins))
-        prompt = jnp.asarray(buf)
-        length = jnp.asarray(lengths)
-        sot_index = jnp.asarray(sots)
 
-        row_result: List[Optional[Dict]] = [None] * bsz
-        row_ns: List[Optional[float]] = [None] * bsz
-        settled = [st is None for st in slots]
-        for temperature in temperatures:
-            if all(settled):
-                break
+    class _Group:
+        """One lockstep batch with its dispatch/fetch split for round-robin
+        overlap. A round: prepare (windows + prompts + encode dispatch) ->
+        [dispatch one temperature attempt -> fetch + gate]* -> bookkeeping
+        -> next round's prepare."""
+
+        def __init__(self, gi: int):
+            self.gi = gi
+            self.slots: List[Optional[Dict]] = [
+                _take_next() if queue else None for _ in range(bsz)]
+            self.round_idx = 0
+            self.pending = None   # (kind, device handles, temperature)
+            if self.active():
+                self._prepare_round()
+
+        def active(self) -> bool:
+            return any(s is not None for s in self.slots)
+
+        def _prepare_round(self):
+            for idx in queue[:n_prefetch]:
+                if idx not in prefetched:
+                    prefetched[idx] = _load(idx)
+            wins: List[jnp.ndarray] = [zero_win] * bsz
+            self.seg_sizes = [0] * bsz
+            buf = np.full((bsz, p_max), eot, np.int32)
+            lengths = np.full((bsz,), len(sot_seq), np.int32)
+            sots = np.zeros((bsz,), np.int32)
+            for i, st in enumerate(self.slots):
+                if st is None:
+                    buf[i, : len(sot_seq)] = sot_seq
+                    continue
+                self.seg_sizes[i] = min(N_FRAMES, st["frames"] - st["seek"])
+                # device-side slice of the device-resident mel: no mel
+                # download, no per-round window re-upload over the tunnel
+                wins[i] = _gather_window(
+                    st["mel"], jnp.asarray(st["seek"], jnp.int32))
+                ptoks = _conditioned_prompt(tokenizer, sot_seq, st,
+                                            condition_on_previous_text,
+                                            max_prev)
+                buf[i, : len(ptoks)] = ptoks
+                lengths[i] = len(ptoks)
+                sots[i] = len(ptoks) - len(sot_seq)
+            self.xa = _encode(params, cfg, jnp.stack(wins))
+            self.prompt = jnp.asarray(buf)
+            self.length = jnp.asarray(lengths)
+            self.sot_index = jnp.asarray(sots)
+            self.row_result: List[Optional[Dict]] = [None] * bsz
+            self.row_ns: List[Optional[float]] = [None] * bsz
+            self.settled = [st is None for st in self.slots]
+            self.temp_i = 0
+
+        def dispatch(self):
+            """Queue this group's next temperature attempt on the device
+            (async — returns as soon as the computation is enqueued)."""
+            temperature = temperatures[self.temp_i]
             if temperature == 0.0 and beam_size > 1:
-                tokens, score, ns = _beam_window(
-                    params, cfg, xa, prompt, length, sot_index,
-                    beam_size, max_new_tokens, eot, no_speech,
-                    suppress_ids, begin_suppress_ids, ts_begin,
+                handles = _beam_window(
+                    params, cfg, self.xa, self.prompt, self.length,
+                    self.sot_index, beam_size, max_new_tokens, eot,
+                    no_speech, suppress_ids, begin_suppress_ids, ts_begin,
                     length_penalty, patience)
-                # one host sync for all three outputs (each np.asarray is a
-                # full round trip over the remote-TPU tunnel)
-                tok_np, score_np, ns_np = jax.device_get((tokens, score, ns))
+                self.pending = ("beam", handles, temperature)
+            elif temperature == 0.0:
+                handles = _greedy_window(
+                    params, cfg, self.xa, self.prompt, self.length,
+                    self.sot_index, max_new_tokens, eot, no_speech,
+                    suppress_ids, begin_suppress_ids, ts_begin)
+                self.pending = ("greedy", handles, temperature)
+            else:
+                rng = jax.random.PRNGKey(
+                    seed + int(temperature * 10)
+                    + self.round_idx * n_groups + self.gi)
+                handles = _sample_window(
+                    params, cfg, self.xa, self.prompt, self.length,
+                    self.sot_index, rng, temperature, max_new_tokens, eot,
+                    no_speech, suppress_ids, begin_suppress_ids, ts_begin)
+                self.pending = ("sample", handles, temperature)
+
+        def process(self):
+            """Fetch the pending attempt (one host sync for all outputs —
+            each fetch is a full round trip over the remote-TPU tunnel),
+            evaluate quality gates, and either leave the round open for the
+            next temperature or complete it (bookkeeping + slot refill +
+            next round's prepare)."""
+            kind, handles, temperature = self.pending
+            self.pending = None
+            if kind == "beam":
+                tok_np, score_np, ns_np = jax.device_get(handles)
                 scores = np.asarray(score_np, np.float64)
             else:
-                if temperature == 0.0:
-                    tokens, sum_lp, ns = _greedy_window(
-                        params, cfg, xa, prompt, length, sot_index,
-                        max_new_tokens, eot, no_speech,
-                        suppress_ids, begin_suppress_ids, ts_begin)
-                else:
-                    rng = jax.random.PRNGKey(
-                        seed + int(temperature * 10) + round_idx)
-                    tokens, sum_lp, ns = _sample_window(
-                        params, cfg, xa, prompt, length, sot_index, rng,
-                        temperature, max_new_tokens, eot, no_speech,
-                        suppress_ids, begin_suppress_ids, ts_begin)
-                tok_np, sum_lp_np, ns_np = jax.device_get((tokens, sum_lp, ns))
+                tok_np, sum_lp_np, ns_np = jax.device_get(handles)
                 n_gen = np.maximum((tok_np != eot).sum(axis=1) + 1, 1)
                 scores = np.asarray(sum_lp_np, np.float64) / n_gen
-            for i, st in enumerate(slots):
-                if st is None or settled[i]:
+            for i, st in enumerate(self.slots):
+                if st is None or self.settled[i]:
                     continue
-                if row_ns[i] is None:
-                    row_ns[i] = float(ns_np[i])
-                row_result[i] = _candidate(tokenizer, tok_np[i],
-                                           float(scores[i]), temperature, eot)
-                settled[i] = _settles(
-                    row_result[i], row_ns[i], compression_ratio_threshold,
-                    logprob_threshold, no_speech_threshold)
+                if self.row_ns[i] is None:
+                    self.row_ns[i] = float(ns_np[i])
+                self.row_result[i] = _candidate(
+                    tokenizer, tok_np[i], float(scores[i]), temperature, eot)
+                self.settled[i] = _settles(
+                    self.row_result[i], self.row_ns[i],
+                    compression_ratio_threshold, logprob_threshold,
+                    no_speech_threshold)
+            self.temp_i += 1
+            if not all(self.settled) and self.temp_i < len(temperatures):
+                return  # same round, next temperature (caller re-dispatches)
 
-        for i, st in enumerate(slots):
-            if st is None:
+            for i, st in enumerate(self.slots):
+                if st is None:
+                    continue
+                _apply_window_result(
+                    st, self.row_result[i], self.row_ns[i],
+                    self.seg_sizes[i], tokenizer, ts_begin, eot,
+                    logprob_threshold, no_speech_threshold,
+                    condition_on_previous_text, verbose,
+                    tag=f"[song {st['ri']}] ")
+                if st["seek"] >= st["frames"]:
+                    results[st["ri"]] = _final_result(st, tokenizer)
+                    self.slots[i] = _take_next() if queue else None
+            self.round_idx += 1
+            if self.active():
+                self._prepare_round()
+
+    groups = [_Group(gi) for gi in range(n_groups)]
+    for g in groups:
+        if g.active():
+            g.dispatch()
+    # round-robin: process a group's finished attempt, immediately queue its
+    # next work, then move on — with G >= 2 the device is never idle while
+    # the host parses segments and builds prompts
+    while any(g.pending is not None for g in groups):
+        for g in groups:
+            if g.pending is None:
                 continue
-            _apply_window_result(
-                st, row_result[i], row_ns[i], seg_sizes[i], tokenizer,
-                ts_begin, eot, logprob_threshold, no_speech_threshold,
-                condition_on_previous_text, verbose,
-                tag=f"[song {st['ri']}] ")
-            if st["seek"] >= st["frames"]:
-                results[st["ri"]] = _final_result(st, tokenizer)
-                slots[i] = _take_next() if queue else None
-        round_idx += 1
+            g.process()
+            if g.active():
+                g.dispatch()
 
     return [r for r in results]

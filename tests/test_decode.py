@@ -119,6 +119,26 @@ def test_beam_batch_independence(cfg, setup):
     np.testing.assert_array_equal(np.asarray(both)[0], np.asarray(solo)[0])
 
 
+@pytest.mark.parametrize("group", [2, 3, 4, 7])
+def test_grouped_decode_equals_ungrouped(cfg, setup, group):
+    """K-grouped while_loop bodies are token-for-token equal to group=1 —
+    incl. groups that overshoot max_new_tokens (7 does not divide 8/9) and
+    early-eot samples inside a group."""
+    params, xa, prompt = setup
+    g1 = np.asarray(greedy_decode(params, cfg, xa, prompt,
+                                  max_new_tokens=8, eot=EOT))
+    gk = np.asarray(greedy_decode(params, cfg, xa, prompt,
+                                  max_new_tokens=8, eot=EOT, group=group))
+    np.testing.assert_array_equal(gk, g1)
+
+    b1, s1 = beam_search(params, cfg, xa, prompt, beam_size=3,
+                         max_new_tokens=9, eot=EOT)
+    bk, sk = beam_search(params, cfg, xa, prompt, beam_size=3,
+                         max_new_tokens=9, eot=EOT, group=group)
+    np.testing.assert_array_equal(np.asarray(bk), np.asarray(b1))
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(s1), rtol=1e-6)
+
+
 def test_decode_context_overflow_raises(cfg, setup):
     params, xa, prompt = setup
     with pytest.raises(ValueError, match="decoder context"):

@@ -412,6 +412,31 @@ def test_longform_batched_matches_single_beam(longform_model, tok):
                [_seg_key(s) for s in want["segments"]]
 
 
+def test_longform_batched_overlap_groups(longform_model, tok):
+    """overlap_groups=2 (round-robin lockstep groups hiding host bookkeeping
+    behind the other group's device time) produces exactly the single-song
+    results for every song, including a queue longer than the slot count."""
+    from lyricalignment_tpu.decode.longform import transcribe_longform_batched
+
+    cfg, params = longform_model
+    rng = np.random.default_rng(79)
+    audios = [
+        (rng.standard_normal(int(f * N_SAMPLES)) * 0.1).astype(np.float32)
+        for f in (1.6, 2.3, 1.2, 1.9, 1.3)
+    ]
+    kw = dict(beam_size=3, temperatures=(0.0,),
+              logprob_threshold=-1e9, no_speech_threshold=2.0)
+
+    grouped = transcribe_longform_batched(
+        params, cfg, audios, tok, batch_size=2, overlap_groups=2, **kw)
+    singles = [transcribe_longform(params, cfg, a, tok, **kw) for a in audios]
+
+    for got, want in zip(grouped, singles):
+        assert got["text"] == want["text"]
+        assert [_seg_key(s) for s in got["segments"]] == \
+               [_seg_key(s) for s in want["segments"]]
+
+
 def test_longform_batched_queue_refill_greedy(longform_model, tok):
     """Three songs over a 2-slot batch: a finished song's slot is refilled
     from the queue (continuous batching) and every result still matches its
