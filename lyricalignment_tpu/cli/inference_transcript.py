@@ -58,6 +58,10 @@ def parse_args():
     p.add_argument("--length-penalty", type=float, default=None,
                    help="beam ranking length penalty (Google NMT formula); "
                         "default None = average logprob, whisper's default")
+    p.add_argument("--decode-group", type=int, default=1,
+                   help="decode steps per while_loop iteration (amortizes "
+                        "the loop's fixed per-iteration cost; token "
+                        "selection is unchanged — see decode.beam)")
     p.add_argument("--patience", type=float, default=None,
                    help="beam search patience (whisper DecodingOptions): "
                         "keep decoding until round(beam_size * patience) "
@@ -164,6 +168,7 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
             length_penalty=args.length_penalty,
             patience=getattr(args, "patience", None),
             seed=args.seed,
+            decode_group=getattr(args, "decode_group", 1),
         )
         if len(longform_items) > 1:
             # many long songs: advance their seek loops in lockstep so every
@@ -210,6 +215,7 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
                 beam_size=args.beam_size, max_new_tokens=args.max_new_tokens,
                 suppress_ids=suppress_ids,
                 begin_suppress_ids=begin_suppress_ids,
+                group=getattr(args, "decode_group", 1),
             )
             for (ri, w, _), entry in zip(chunk, entries):
                 texts.setdefault(ri, {})[w] = entry["text"]
@@ -222,6 +228,7 @@ def transcribe_records(records, params, wcfg, whisper_tok, args):
                 begin_suppress_ids=begin_suppress_ids,
                 length_penalty=args.length_penalty,
                 patience=getattr(args, "patience", None),
+                group=getattr(args, "decode_group", 1),
             )
         else:
             tokens = greedy_decode(

@@ -70,11 +70,11 @@ def _encode(params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "beam_size", "max_new_tokens", "eot", "no_speech",
     "suppress_ids", "begin_suppress_ids", "ts_begin", "length_penalty",
-    "patience"))
+    "patience", "group"))
 def _beam_window(params, cfg, xa, prompt, length, sot_index,
                  beam_size, max_new_tokens, eot, no_speech,
                  suppress_ids, begin_suppress_ids, ts_begin,
-                 length_penalty=None, patience=None):
+                 length_penalty=None, patience=None, group=1):
     """One window: prime conditioned prompt + beam search w/ timestamp rules.
 
     ``prompt`` is [B, P] (one row per sample — the split cache stores each
@@ -92,7 +92,8 @@ def _beam_window(params, cfg, xa, prompt, length, sot_index,
                              timestamp_rules=True, ts_begin=ts_begin)
     tokens, score = beam_loop(params, cfg, jnp.repeat(logits, k, axis=0),
                               cache, process, k,
-                              max_new_tokens, eot, length_penalty, patience)
+                              max_new_tokens, eot, length_penalty, patience,
+                              group=group)
     return tokens, score, ns_prob
 
 
@@ -264,6 +265,7 @@ def transcribe_longform(
     no_speech_threshold: float = NO_SPEECH_THRESHOLD,
     seed: int = 0,
     verbose: bool = False,
+    decode_group: int = 1,
 ) -> Dict:
     """Transcribe audio of arbitrary length with whisper's sequential seek.
 
@@ -305,7 +307,7 @@ def transcribe_longform(
                     params, cfg, xa, prompt, length, sot_index,
                     beam_size, max_new_tokens, eot, no_speech,
                     suppress_ids, begin_suppress_ids, ts_begin,
-                    length_penalty, patience)
+                    length_penalty, patience, group=decode_group)
                 # one host sync for all outputs (each fetch is a full round
                 # trip over the remote-TPU tunnel)
                 tok_np, score_np, ns_np = jax.device_get((tokens, score_d, ns))
@@ -415,6 +417,7 @@ def transcribe_longform_batched(
     seed: int = 0,
     verbose: bool = False,
     overlap_groups: int = 1,
+    decode_group: int = 1,
 ) -> List[Dict]:
     """Transcribe MANY long songs in lockstep: one batched decode per round.
 
@@ -540,7 +543,7 @@ def transcribe_longform_batched(
                     params, cfg, self.xa, self.prompt, self.length,
                     self.sot_index, beam_size, max_new_tokens, eot,
                     no_speech, suppress_ids, begin_suppress_ids, ts_begin,
-                    length_penalty, patience)
+                    length_penalty, patience, group=decode_group)
                 self.pending = ("beam", handles, temperature)
             elif temperature == 0.0:
                 handles = _greedy_window(

@@ -99,6 +99,7 @@ def decode_with_fallback(
     seed: int = 0,
     suppress_ids: tuple = (),
     begin_suppress_ids: tuple = (),
+    group: int = 1,
 ) -> List[Dict]:
     """whisper's DecodingOptions fallback ladder over a batch.
 
@@ -122,7 +123,8 @@ def decode_with_fallback(
             tokens, scores = beam_search(params, cfg, xa, pr, beam_size=beam_size,
                                          max_new_tokens=max_new_tokens, eot=eot,
                                          suppress_ids=suppress_ids,
-                                         begin_suppress_ids=begin_suppress_ids)
+                                         begin_suppress_ids=begin_suppress_ids,
+                                         group=group)
             tokens, scores = np.asarray(tokens), np.asarray(scores)
         else:
             tokens, sum_lp = sample_decode(

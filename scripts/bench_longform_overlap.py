@@ -8,8 +8,8 @@ songs). This measures steady-state serving throughput (audio-s/s/chip)
 over the same 48-song workload for each (groups, batch) arm, interleaved
 twice so tunnel drift cancels.
 
-Env: BENCH_MODEL (medium), ARMS ("groups:batch" comma list, default
-"1:8,2:8,2:12,1:16"), SONGS (48), SECONDS (90).
+Env: BENCH_MODEL (medium), ARMS ("groups:batch:decode_group" comma
+list, default "1:8:1,2:8:1,2:8:3,2:12:3"), SONGS (48), SECONDS (90).
 """
 
 import json
@@ -22,7 +22,8 @@ MODEL = os.environ.get("BENCH_MODEL", "medium")
 SONGS = int(os.environ.get("SONGS", "48"))
 SECONDS = float(os.environ.get("SECONDS", "90"))
 ARMS = [tuple(int(x) for x in a.split(":"))
-        for a in os.environ.get("ARMS", "1:8,2:8,2:12,1:16").split(",")]
+        for a in os.environ.get(
+            "ARMS", "1:8:1,2:8:1,2:8:3,2:12:3").split(",")]
 
 
 def main():
@@ -46,25 +47,25 @@ def main():
     for mel, _ in staged:
         np.asarray(mel[0, :1])  # uploads complete before timing
 
-    def run(groups, batch):
+    def run(groups, batch, dgroup):
         return transcribe_longform_batched(
             params["whisper"], mcfg.whisper, staged, tok,
-            batch_size=batch, overlap_groups=groups,
+            batch_size=batch, overlap_groups=groups, decode_group=dgroup,
             beam_size=5, temperatures=(0.0,), max_new_tokens=64,
             compression_ratio_threshold=1e9, logprob_threshold=-1e9,
             no_speech_threshold=2.0)
 
     results = {"sweep": "longform_overlap", "model": MODEL, "songs": SONGS,
                "clip_seconds": SECONDS, "audio_s_per_s": {}}
-    for groups, batch in ARMS:
-        run(groups, batch)  # compile this batch shape
+    for groups, batch, dgroup in ARMS:
+        run(groups, batch, dgroup)  # compile this (batch, dgroup) shape
     for rep in range(2):
-        for groups, batch in ARMS:
+        for groups, batch, dgroup in ARMS:
             t0 = time.perf_counter()
-            run(groups, batch)
+            run(groups, batch, dgroup)
             rate = SONGS * SECONDS / (time.perf_counter() - t0)
             results["audio_s_per_s"].setdefault(
-                f"g{groups}_b{batch}", []).append(round(rate, 1))
+                f"g{groups}_b{batch}_dg{dgroup}", []).append(round(rate, 1))
 
     print(json.dumps(results))
 
