@@ -289,7 +289,8 @@ def bench_longform(model_name, seconds, iters, beam_size=5,
     would decode the full 221-token context every time and measure the
     worst case instead of the orchestration.
 
-    ``batch`` (BENCH_LONGFORM_BATCH, default 8) songs advance their seek
+    ``batch`` (BENCH_LONGFORM_BATCH, default 12 — the round-5 overlap-sweep
+    winner) songs advance their seek
     loops in lockstep through ``transcribe_longform_batched`` — the round-3
     serving operating point, where every window round is ONE batched
     decode. BENCH_LONGFORM_BATCH=1 measures the single-song loop (the
@@ -312,8 +313,14 @@ def bench_longform(model_name, seconds, iters, beam_size=5,
     from lyricalignment_tpu.models.align_model import init_align_model
 
     if batch is None:
-        batch = int(os.environ.get("BENCH_LONGFORM_BATCH", "8"))
+        batch = int(os.environ.get("BENCH_LONGFORM_BATCH", "12"))
     groups = int(os.environ.get("BENCH_LONGFORM_GROUPS", "2"))
+    # K-grouped window decode (same knob as the transcribe bench). The
+    # round-5 overlap sweep (scripts/bench_longform_overlap.py, PARITY
+    # "longform overlap sweep") picked (groups=2, batch=12, decode_group=3)
+    # = 452 audio-s/s vs 357 at the old (2, 8, 1) defaults; wider arms
+    # (g3/g4, b16) all plateau at 441-453 — the loop is device-bound.
+    dgroup = int(os.environ.get("BENCH_DECODE_GROUP", "3"))
     n_songs = int(os.environ.get(
         "BENCH_LONGFORM_SONGS",
         str(3 * batch * groups if batch > 1 else 1)))
@@ -337,6 +344,7 @@ def bench_longform(model_name, seconds, iters, beam_size=5,
             return transcribe_longform_batched(
                 params["whisper"], mcfg.whisper, staged, tok,
                 batch_size=batch, overlap_groups=groups,
+                decode_group=dgroup,
                 beam_size=beam_size, temperatures=(0.0,),
                 max_new_tokens=max_new_tokens,
                 compression_ratio_threshold=1e9, logprob_threshold=-1e9,
