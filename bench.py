@@ -47,7 +47,12 @@ align_large sub row stays large), BENCH_BATCH (default 16, the measured
 medium-alignment knee), BENCH_ITERS (default 8), BENCH_SECONDS (clip
 length, default 30), BENCH_LONGFORM_SECONDS (default 90), BENCH_SUB=0
 (skip sub metrics in full mode), BENCH_TRAIN_REMAT=1 (rematerialised train
-step for large configs), BENCH_TIME_BUDGET (full-mode wall budget in
+step for large configs), BENCH_TRAIN_FREEZE=1 (reference --freeze-encoder
+recipe: frozen bf16-resident encoder, no encoder backward/optimizer state
+— the one-chip whisper-large training recipe; the FULL large recipe needs
+21.7 GB and OOMs a 16 GB chip, so use
+``BENCH_MODE=train BENCH_MODEL=large BENCH_TRAIN_FREEZE=1`` — measured
+570 audio-s/s/chip, fits without remat; PARITY.md), BENCH_TIME_BUDGET (full-mode wall budget in
 seconds, default 1800 — emit whatever is measured before it expires;
 a cold run measures ~26 min end to end: ~6 min tunnel warm-up/probe +
 ~20 min for the headline and all four subs incl. remote compiles),
@@ -225,9 +230,24 @@ def bench_train(model_name, iters, clip_seconds):
     # and it frees the ~254 MB/microbatch f32 loss logits (PARITY.md)
     remat = os.environ.get("BENCH_TRAIN_REMAT", "0") != "0"
     fused = os.environ.get("BENCH_TRAIN_FUSED", "1") != "0"
+    # BENCH_TRAIN_FREEZE=1: reference --freeze-encoder recipe (no encoder
+    # backward, no encoder optimizer state). The full large recipe needs
+    # 21.7 GB (AdamW state alone is ~15.4 GB f32 params+nu + bf16 mu) and
+    # OOMs one 16 GB chip; freeze+remat is the one-chip large recipe.
+    freeze = os.environ.get("BENCH_TRAIN_FREEZE", "0") != "0"
+    if freeze:
+        from lyricalignment_tpu.models.whisper import bf16_resident_params
+
+        mcfg_t = dataclasses.replace(mcfg_t, freeze_encoder=True)
+        # a frozen encoder never updates, so its params can live bf16 like
+        # the inference path (numerics-identical under bf16 compute's per-op
+        # cast) — saves ~1.28 GB of the large train state
+        params["whisper"]["encoder"] = bf16_resident_params(
+            params["whisper"]["encoder"])
     tcfg = TrainConfig(accum_grad_steps=8, use_ctc=True, vocab_size=21128,
                        remat=remat, grad_accum_dtype=jnp.bfloat16,
-                       adam_mu_dtype=jnp.bfloat16, fused_losses=fused)
+                       adam_mu_dtype=jnp.bfloat16, fused_losses=fused,
+                       freeze_encoder=freeze)
     state, tx = init_train_state(params, tcfg)
     step_fn = make_train_step(mcfg_t, tcfg, tx)
     tb = 2  # reference recipe: batch 2 x accum 8

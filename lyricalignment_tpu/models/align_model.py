@@ -192,7 +192,13 @@ def forward_from_audio(
         embed_for_decoder = align_embed[:, :EMBED_FRAMES]
 
     if cfg.freeze_encoder:
+        # the reference freezes the encoder for BOTH heads (torch.no_grad
+        # around embed_audio, `module/align_model.py:137-139`): no gradient
+        # reaches the encoder through the align head or through the
+        # decoder's cross-attention, which also lets XLA drop the entire
+        # encoder backward pass
         align_embed = jax.lax.stop_gradient(align_embed)
+        embed_for_decoder = jax.lax.stop_gradient(embed_for_decoder)
 
     align_logits = None
     if cfg.train_alignment:

@@ -62,6 +62,11 @@ class TrainConfig:
     # gradient residuals) never reaches HBM — chunked-logsumexp normaliser
     # + label-column gathers, same trick as viterbi_align_fused
     fused_losses: bool = False
+    # match AlignModelConfig.freeze_encoder: frozen encoder params carry NO
+    # optimizer state (routed to optax.set_to_zero, like torch AdamW skipping
+    # grad-less params — no update, no decoupled weight decay). Saves
+    # ~6 B/param of mu/nu, which is what lets whisper-large train on one chip
+    freeze_encoder: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -82,6 +87,7 @@ def init_train_state(params: Dict, tcfg: TrainConfig) -> Tuple[TrainState, optax
         total_steps=tcfg.total_steps,
         max_grad_norm=tcfg.max_grad_norm,
         mu_dtype=tcfg.adam_mu_dtype,
+        freeze_encoder=tcfg.freeze_encoder,
     )
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)), tx
 

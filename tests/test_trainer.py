@@ -192,3 +192,80 @@ def test_fused_losses_train_step_matches_unfused(mcfg, tcfg, rng):
                     jax.tree_util.tree_leaves(outs[True][0].params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_freeze_encoder_no_update_no_opt_state(mcfg, tcfg, rng):
+    """--freeze-encoder parity with torch AdamW over a no_grad encoder
+    (`module/align_model.py:137-139` + torch skipping grad-less params):
+    encoder params must be bit-unchanged after a step (no update AND no
+    decoupled weight decay), carry no mu/nu optimizer state, while the
+    decoder and align head still train."""
+    import dataclasses as dc
+
+    m = dc.replace(mcfg, freeze_encoder=True)
+    t = dc.replace(tcfg, freeze_encoder=True)
+    params = init_align_model(jax.random.PRNGKey(0), m)
+    enc_before = jax.tree_util.tree_map(np.asarray, params["whisper"]["encoder"])
+    state, tx = init_train_state(params, t)
+
+    # frozen subtree holds no Adam state (optax.set_to_zero => EmptyState)
+    flat_state = jax.tree_util.tree_leaves(state.opt_state)
+    n_enc = len(jax.tree_util.tree_leaves(enc_before))
+    n_all = len(jax.tree_util.tree_leaves(state.params))
+    # mu+nu exist only for non-frozen params (plus scalar counts)
+    n_moments = sum(1 for leaf in flat_state if hasattr(leaf, "shape") and leaf.ndim > 0)
+    assert n_moments <= 2 * (n_all - n_enc)
+
+    step_fn = make_train_step(m, t, tx)
+    stacked = make_batch(rng, accum=t.accum_grad_steps)
+    # two steps: the warmup schedule gives lr=0 at step 0
+    for _ in range(2):
+        state, losses = step_fn(state, {k: jnp.asarray(v) for k, v in stacked.items()},
+                                jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total"]))
+
+    enc_after = state.params["whisper"]["encoder"]
+    for a, b in zip(jax.tree_util.tree_leaves(enc_before),
+                    jax.tree_util.tree_leaves(enc_after)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    # the trainable parts moved
+    head_before = init_align_model(jax.random.PRNGKey(0), m)["align_head"]
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(head_before),
+                        jax.tree_util.tree_leaves(state.params["align_head"])))
+    assert moved
+    dec_before = init_align_model(jax.random.PRNGKey(0), m)["whisper"]["decoder"]
+    dec_moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(dec_before),
+                        jax.tree_util.tree_leaves(state.params["whisper"]["decoder"])))
+    assert dec_moved
+
+
+def test_freeze_encoder_bf16_resident_trains(mcfg, tcfg, rng):
+    """The frozen-encoder large recipe stores encoder params bf16-resident
+    (they never update, so residency is the same numerics as the bf16
+    inference cast). The train step must run, keep the encoder bit-frozen
+    in bf16, and still train the decoder/head."""
+    import dataclasses as dc
+
+    from lyricalignment_tpu.models.whisper import bf16_resident_params
+
+    m = dc.replace(mcfg, freeze_encoder=True)
+    t = dc.replace(tcfg, freeze_encoder=True)
+    params = init_align_model(jax.random.PRNGKey(0), m)
+    params["whisper"]["encoder"] = bf16_resident_params(
+        params["whisper"]["encoder"])
+    enc_before = jax.tree_util.tree_map(np.asarray, params["whisper"]["encoder"])
+    state, tx = init_train_state(params, t)
+    step_fn = make_train_step(m, t, tx)
+    stacked = make_batch(rng, accum=t.accum_grad_steps)
+    for _ in range(2):
+        state, losses = step_fn(state, {k: jnp.asarray(v) for k, v in stacked.items()},
+                                jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total"]))
+    for a, b in zip(jax.tree_util.tree_leaves(enc_before),
+                    jax.tree_util.tree_leaves(state.params["whisper"]["encoder"])):
+        assert np.asarray(b).dtype == np.asarray(a).dtype
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
