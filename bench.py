@@ -52,7 +52,9 @@ recipe: frozen bf16-resident encoder, no encoder backward/optimizer state
 — the one-chip whisper-large training recipe; the FULL large recipe needs
 21.7 GB and OOMs a 16 GB chip, so use
 ``BENCH_MODE=train BENCH_MODEL=large BENCH_TRAIN_FREEZE=1`` — measured
-570 audio-s/s/chip, fits without remat; PARITY.md), BENCH_TIME_BUDGET (full-mode wall budget in
+570 audio-s/s/chip, fits without remat; large-v3-turbo trains the FULL
+recipe with BENCH_TRAIN_REMAT=1 at 246 audio-s/s/chip; PARITY.md),
+BENCH_TIME_BUDGET (full-mode wall budget in
 seconds, default 1800 — emit whatever is measured before it expires;
 a cold run measures ~26 min end to end: ~6 min tunnel warm-up/probe +
 ~20 min for the headline and all four subs incl. remote compiles),
