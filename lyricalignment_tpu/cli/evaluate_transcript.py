@@ -33,7 +33,8 @@ from typing import Dict, List, Optional
 
 from lyricalignment_tpu.cli.common import add_asset_args
 from lyricalignment_tpu.text.bert_tokenizer import BertWordPieceTokenizer, make_synthetic_vocab
-from lyricalignment_tpu.text.normalize import normalization_gaps, normalize_for_eval
+from lyricalignment_tpu.text.normalize import (
+    format_gap_report, normalization_gaps, normalize_for_eval)
 from lyricalignment_tpu.text.pinyin import (
     CharPhonemizer, load_phrase_readings, load_pronunciation_table)
 from lyricalignment_tpu.utils.metrics import cer, per
@@ -91,29 +92,27 @@ def compute_cer(reference: List[str], prediction: List[str],
     return weighted / len(reference), op_count
 
 
-def report_gaps(texts: List[str], phonemize: CharPhonemizer,
-                t2s_overrides: Optional[Dict[str, str]],
-                strict: bool) -> bool:
+def report_gaps(texts: List[str], has_reading,
+                t2s_overrides: Optional[Dict[str, str]]) -> bool:
     """Surface silent-divergence candidates (VERDICT r4 #6). Returns True
-    when any were found."""
+    when any were found. ``has_reading`` is ``CharPhonemizer.knows`` when a
+    real vocab anchors the pronunciation table, or None for the conservative
+    rare-block-only check."""
     gaps: Dict[str, int] = {}
     for t in texts:
         for ch, n in normalization_gaps(
                 normalize_for_eval(t, t2s_overrides),
-                has_reading=phonemize.knows).items():
+                has_reading=has_reading).items():
             gaps[ch] = gaps.get(ch, 0) + n
     if not gaps:
         return False
-    listing = " ".join(f"{ch}(x{n})" for ch, n in
-                       sorted(gaps.items(), key=lambda kv: -kv[1])[:20])
-    more = f" (+{len(gaps) - 20} more)" if len(gaps) > 20 else ""
-    print(f"# normalization: {sum(gaps.values())} character occurrence(s) "
-          f"with no t2s entry and no pronunciation-table reading: "
-          f"{listing}{more}\n"
-          f"# CER/PER may diverge from the reference's chinese_converter/"
-          f"pypinyin on these; extend coverage with --t2s-overrides / "
-          f"--pinyin-phrases / --bert-vocab",
-          file=sys.stderr)
+    print(format_gap_report(
+        gaps,
+        anchor="with no t2s entry and no pronunciation-table reading",
+        remedy="CER/PER may diverge from the reference's chinese_converter/"
+               "pypinyin on these; extend coverage with --t2s-overrides / "
+               "--pinyin-phrases / --bert-vocab"),
+        file=sys.stderr)
     return True
 
 
@@ -144,13 +143,15 @@ def main():
     compute_cer(refs, preds, phonemize=phonemize, is_per=True,
                 t2s_overrides=t2s)
 
-    # gap reporting needs real readings to be meaningful: under
-    # --synthetic-vocab (smoke mode) every character is "unanchored" and
-    # the warning would fire on all text — only report when a real vocab
-    # is loaded, or when the user explicitly asked for strictness
+    # gap reporting needs real readings to be meaningful: the synthetic
+    # vocab (no --bert-vocab) knows no real characters, so using its
+    # phonemizer would flag EVERY character — fall back to the conservative
+    # rare-block-only check (has_reading=None) in that case, and only
+    # report at all when a real vocab is loaded or strictness was asked for
     if args.bert_vocab or args.strict_normalize:
-        found = report_gaps(refs + preds, phonemize, t2s,
-                            args.strict_normalize)
+        found = report_gaps(refs + preds,
+                            phonemize.knows if args.bert_vocab else None,
+                            t2s)
         if found and args.strict_normalize:
             raise SystemExit(2)
 

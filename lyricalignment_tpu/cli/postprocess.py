@@ -22,7 +22,8 @@ import sys
 from typing import Dict, Optional
 
 from lyricalignment_tpu.text.normalize import (
-    load_t2s_overrides, normalization_gaps, remove_english, to_simplified)
+    format_gap_report, load_t2s_overrides, normalization_gaps,
+    remove_english, to_simplified)
 
 
 def parse_args():
@@ -58,12 +59,8 @@ def main():
         with open(file, "w", encoding="utf-8") as f:
             json.dump(data, f, indent=4, ensure_ascii=False)
     if gaps:
-        listing = " ".join(f"{ch}(x{n})" for ch, n in
-                           sorted(gaps.items(), key=lambda kv: -kv[1])[:20])
-        more = f" (+{len(gaps) - 20} more)" if len(gaps) > 20 else ""
-        print(f"# normalization: {sum(gaps.values())} character "
-              f"occurrence(s) outside the t2s table: {listing}{more}\n"
-              f"# extend coverage with --t2s-overrides",
+        print(format_gap_report(gaps, anchor="outside the t2s table",
+                                remedy="extend coverage with --t2s-overrides"),
               file=sys.stderr)
         if args.strict_normalize:
             raise SystemExit(2)

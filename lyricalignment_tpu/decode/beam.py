@@ -133,6 +133,10 @@ def greedy_loop(
 
     Returns (tokens i32[B, max_new_tokens] eot-padded, sum_logprob f32[B]).
     """
+    if group < 1:
+        # group <= 0 would make the while_loop body a no-op and hang the
+        # device loop forever; fail loudly at trace time instead.
+        raise ValueError(f"decode group must be >= 1, got {group}")
     b = logits0.shape[0]
     t = max_new_tokens
     out0 = jnp.full((b, t), eot, jnp.int32)
@@ -239,6 +243,10 @@ def beam_loop(
     ``avg_logprob``, the scale its logprob_threshold quality gate is
     defined on, regardless of the ranking penalty).
     """
+    if group < 1:
+        # group <= 0 would make the while_loop body a no-op and hang the
+        # device loop forever; fail loudly at trace time instead.
+        raise ValueError(f"decode group must be >= 1, got {group}")
     bk = logits0.shape[0]
     k = beam_size
     b = bk // k

@@ -134,10 +134,14 @@ def load_phrase_readings(path: str) -> Dict[str, Tuple[str, ...]]:
     with open(path, "r", encoding="utf-8") as f:
         user = json.load(f)
     for phrase, readings in user.items():
+        if not phrase:
+            # an empty key would later index p[0] in CharPhonemizer
+            raise ValueError("phrase keys must be non-empty strings")
         if not isinstance(readings, (list, tuple)) or \
-                len(readings) != len(phrase):
+                len(readings) != len(phrase) or \
+                not all(isinstance(r, str) for r in readings):
             raise ValueError(
-                f"phrase {phrase!r} needs exactly one syllable per "
+                f"phrase {phrase!r} needs exactly one string syllable per "
                 f"character, got {readings!r}")
     merged = dict(HETERONYM_PHRASES)
     merged.update({p: tuple(r) for p, r in user.items()})

@@ -81,6 +81,15 @@ def test_pinyin_phrases_external_asset(tmp_path):
     with pytest.raises(ValueError):
         load_phrase_readings(str(bad))
 
+    # an empty phrase key or non-string syllables would crash (or silently
+    # corrupt) CharPhonemizer later — rejected at load time
+    bad.write_text(json.dumps({"": []}), encoding="utf-8")
+    with pytest.raises(ValueError):
+        load_phrase_readings(str(bad))
+    bad.write_text(json.dumps({"银行": [1, 2]}), encoding="utf-8")
+    with pytest.raises(ValueError):
+        load_phrase_readings(str(bad))
+
 
 def test_strict_normalize_flags_unanchored_chars(capsys):
     """The warning fires on a rare traditional char with no t2s entry and
@@ -98,10 +107,15 @@ def test_strict_normalize_flags_unanchored_chars(capsys):
     gaps = normalization_gaps("你好" + rare, has_reading=phonemize.knows)
     assert gaps == {rare: 1}  # anchored chars not flagged
 
-    found = report_gaps(["你好" + rare + rare], phonemize, None, strict=False)
+    found = report_gaps(["你好" + rare + rare], phonemize.knows, None)
     assert found
     err = capsys.readouterr().err
     assert rare in err and "x2" in err
+
+    # without a real vocab (synthetic smoke mode) strict falls back to the
+    # conservative rare-block-only check — fully-covered common text must
+    # NOT be flagged (with the synthetic phonemizer every char would be)
+    assert not report_gaps(["你好"], None, None)
 
     # without reading info (postprocess), main-block chars never flagged;
     # rare-block ideographs are

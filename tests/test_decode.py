@@ -139,6 +139,19 @@ def test_grouped_decode_equals_ungrouped(cfg, setup, group):
     np.testing.assert_allclose(np.asarray(sk), np.asarray(s1), rtol=1e-6)
 
 
+@pytest.mark.parametrize("bad", [0, -1])
+def test_group_below_one_raises(cfg, setup, bad):
+    """group <= 0 would make the while_loop body a no-op and hang the device
+    loop forever — rejected at trace time."""
+    params, xa, prompt = setup
+    with pytest.raises(ValueError, match="decode group"):
+        greedy_decode(params, cfg, xa, prompt, max_new_tokens=4, eot=EOT,
+                      group=bad)
+    with pytest.raises(ValueError, match="decode group"):
+        beam_search(params, cfg, xa, prompt, beam_size=3, max_new_tokens=4,
+                    eot=EOT, group=bad)
+
+
 def test_decode_context_overflow_raises(cfg, setup):
     params, xa, prompt = setup
     with pytest.raises(ValueError, match="decoder context"):
