@@ -54,6 +54,9 @@ recipe: frozen bf16-resident encoder, no encoder backward/optimizer state
 ``BENCH_MODE=train BENCH_MODEL=large BENCH_TRAIN_FREEZE=1`` — measured
 570 audio-s/s/chip, fits without remat; large-v3-turbo trains the FULL
 recipe with BENCH_TRAIN_REMAT=1 at 246 audio-s/s/chip; PARITY.md),
+BENCH_TRAIN_FUSED=1 (fused classifier->losses: +1.0% steady-state but a
+>20 min cold remote compile vs ~4 min unfused, so the bench defaults
+unfused to protect the capture; recommended for real training runs),
 BENCH_TIME_BUDGET (full-mode wall budget in
 seconds, default 1800 — emit whatever is measured before it expires;
 a cold run measures ~26 min end to end: ~6 min tunnel warm-up/probe +
@@ -226,12 +229,16 @@ def bench_train(model_name, iters, clip_seconds):
     n_samples = int(clip_seconds * 16000)
     # medium at the reference recipe fits HBM without rematerialisation and
     # runs ~17% faster; BENCH_TRAIN_REMAT=1 for larger models/batches.
-    # fused classifier->losses is the default (BENCH_TRAIN_FUSED=0 reverts):
-    # measured +1.0% same-day sequential A/B at the reference recipe
-    # (407.9/407.7 vs 403.4/403.4 audio-s/s, losses equal to 4 decimals)
-    # and it frees the ~254 MB/microbatch f32 loss logits (PARITY.md)
+    # fused classifier->losses (BENCH_TRAIN_FUSED=1) wins +1.0% steady-state
+    # (407.9/407.7 vs 403.4/403.4 audio-s/s, losses equal to 4 decimals) and
+    # frees the ~254 MB/microbatch f32 loss logits, but its cold REMOTE
+    # COMPILE exceeds 20 min vs ~4 min unfused (measured 2026-08-20: fused
+    # child >1200 s wall, unfused 383 s) — a capture-killer under the 600 s
+    # child cap, so the BENCH default is unfused; --fused-losses remains the
+    # recommended recipe for real training runs where the one-time compile
+    # amortizes over thousands of steps (PARITY.md)
     remat = os.environ.get("BENCH_TRAIN_REMAT", "0") != "0"
-    fused = os.environ.get("BENCH_TRAIN_FUSED", "1") != "0"
+    fused = os.environ.get("BENCH_TRAIN_FUSED", "0") != "0"
     # BENCH_TRAIN_FREEZE=1: reference --freeze-encoder recipe (no encoder
     # backward, no encoder optimizer state). The full large recipe needs
     # 21.7 GB (AdamW state alone is ~15.4 GB f32 params+nu + bf16 mu) and

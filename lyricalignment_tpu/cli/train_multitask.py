@@ -103,7 +103,10 @@ def parse_args():
                    help="fuse the 21129-class classifier into the align "
                         "CE/CTC losses (chunked-logsumexp normaliser + "
                         "label gathers): the [B,T,C] logit tensor never "
-                        "reaches HBM; numerics pinned == unfused")
+                        "reaches HBM; numerics pinned == unfused. +1%% "
+                        "steady-state but a much larger one-time compile "
+                        "(~20+ min remote vs ~4) — worth it for full "
+                        "schedules, not smoke runs (PARITY.md)")
     p.add_argument("--max-label-len", type=int, default=128)
     p.add_argument("--max-decoder-len", type=int, default=160)
     p.add_argument("--log-every", type=int, default=1,
