@@ -268,6 +268,40 @@ _P: Dict[str, Tuple[str, ...]] = {
     "丢三落四": ("diu", "san", "la", "si"),
     # 吭 keng | hang
     "引吭高歌": ("yin", "hang", "gao", "ge"),
+    # 佛 fo | fu
+    "仿佛": ("fang", "fu"),
+    # 埋 mai | man
+    "埋怨": ("man", "yuan"),
+    # 呢 ne | ni
+    "呢喃": ("ni", "nan"),
+    # 角 jiao | jue
+    "角色": ("jue", "se"), "主角": ("zhu", "jue"), "配角": ("pei", "jue"),
+    "角逐": ("jue", "zhu"),
+    # 拗 ao | niu
+    "执拗": ("zhi", "niu"),
+    # 露 lu | lou
+    "露面": ("lou", "mian"), "露馅": ("lou", "xian"), "露脸": ("lou", "lian"),
+    # 颤 chan | zhan
+    "颤栗": ("zhan", "li"),
+    # 弄 nong | long
+    "弄堂": ("long", "tang"),
+    # 娜 na | nuo
+    "婀娜": ("e", "nuo"),
+    # 校 xiao | jiao
+    "校对": ("jiao", "dui"), "校正": ("jiao", "zheng"),
+    "校准": ("jiao", "zhun"),
+    # 茄 qie | jia
+    "雪茄": ("xue", "jia"),
+    # 奇 qi | ji (also 奇数 above)
+    "奇偶": ("ji", "ou"),
+    # 胳臂 ge bei (臂 bi | bei)
+    "胳臂": ("ge", "bei"),
+    # 绿 lv | lu
+    "绿林": ("lu", "lin"), "鸭绿江": ("ya", "lu", "jiang"),
+    # 秘 mi | bi
+    "秘鲁": ("bi", "lu"),
+    # 哪 na | ne
+    "哪吒": ("ne", "zha"),
 }
 
 HETERONYM_PHRASES: Dict[str, Tuple[str, ...]] = _P

@@ -139,6 +139,20 @@ def test_real_table_phrase_path():
     assert ph("abc") == ["a", "b", "c"]
 
 
+def test_lyric_frequent_heteronym_additions():
+    """Round-5 dict growth (VERDICT r4 #5 'keep growing'): lyric-frequent
+    polyphonic words resolve to lazy_pinyin's phrase readings, not the
+    char table's single reading (佛 fo, 埋 mai, 呢 ne, 角 jiao, ...)."""
+    ph = CharPhonemizer(load_pronunciation_table(), {})
+    assert ph("仿佛") == ["fang", "fu"]
+    assert ph("埋怨") == ["man", "yuan"]
+    assert ph("呢喃") == ["ni", "nan"]
+    assert ph("主角") == ["zhu", "jue"]
+    assert ph("角色") == ["jue", "se"]
+    assert ph("执拗") == ["zhi", "niu"]
+    assert ph.phonemes("仿佛") == ["f", "ang", "f", "u"]
+
+
 def test_phonemizer_vs_pypinyin_disagreement_rate():
     """Import-gated: with pypinyin present, quantify the phrase-tier
     agreement with lazy_pinyin over the embedded heteronym phrases, and

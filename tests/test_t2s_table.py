@@ -54,6 +54,17 @@ def test_known_pairs():
         assert to_simplified(trad) == simp
 
 
+def test_round5_lyric_vocabulary_pairs():
+    """Gap sweep over lyric-frequent vocabulary (found by driving
+    normalize_for_eval: 仿彿 passed through unmapped): variant forms common
+    in Taiwan/HK lyric sheets now map (彿→佛, 淒→凄, 臟→脏, ...)."""
+    for trad, simp in {"彿": "佛", "唸": "念", "嚐": "尝", "艷": "艳",
+                       "臟": "脏", "盪": "荡", "複": "复", "淒": "凄",
+                       "囉": "啰", "瞭": "了", "錶": "表"}.items():
+        assert to_simplified(trad) == simp
+    assert to_simplified("仿彿我聽見複雜的心臟") == "仿佛我听见复杂的心脏"
+
+
 def test_no_conflicting_duplicates():
     by_source = defaultdict(set)
     for p in _T2S_PAIRS:
